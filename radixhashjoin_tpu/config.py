@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+The reference's entire tuning surface is three compile-time macros
+(NUM_OF_THREADS=8 JobScheduler.h:11, HASH_LSB=8 Result.cpp:5,
+BUCKET_SIZE=128KiB Result.cpp:7). The TPU engine exposes a real config layer:
+shape-bucket policy, radix bits, mesh shape, skew thresholds, dtype policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # --- shape bucketing (XLA needs static shapes; we pad to buckets) ---
+    # Padded sizes are `min_pad * pad_base**k`; coarser base => fewer compiles.
+    min_pad: int = 1024
+    pad_base: int = 4
+
+    # --- radix partitioning (Pallas / distributed paths) ---
+    # Level-0 digits route rows across chips (all_to_all exchange);
+    # level-1 digits split per-chip work into VMEM-sized tiles.
+    radix_bits_global: int = 3      # 2**3 = 8-way cross-chip shuffle by default
+    radix_bits_local: int = 8       # 256 per-chip partitions (reference HASH_LSB=8)
+
+    # --- skew handling ---
+    # A level-0 digit owning more than this fraction of rows is split and
+    # broadcast-joined instead of shuffled (reference has no skew handling).
+    skew_heavy_fraction: float = 0.25
+    # all_to_all per-destination capacity slack over the uniform share.
+    exchange_slack: float = 2.0
+
+    # --- dtype policy ---
+    # Values/rowids ride 32-bit lanes (TPU-native); the file format stays u64
+    # at the host boundary (structs.cpp:28-39). Columns with values >= 2**31
+    # take the wide (two-plane) path / oracle fallback.
+    narrow_dtype: str = "int32"
+
+    # --- aggregation ---
+    # SUMs exceed 2**32 (BASELINE.md) => exact u64 via 16-bit limb partial
+    # sums; chunk rows so int32 partials cannot overflow: 2**14 * (2**16-1) < 2**30.
+    sum_chunk: int = 1 << 14
+
+    # --- planner ---
+    # The reference computes filter-selectivity statistics but never consumes
+    # them (README.md:62-64 admits join enumeration was never implemented).
+    # We keep stats propagation for parity and gate the join-reordering
+    # extension behind this flag (off => reference-identical join order).
+    enable_join_reordering: bool = False
+
+    # --- execution backend ---
+    # "xla"     : sort/searchsorted expand-join (skew-proof default)
+    # "pallas"  : Pallas radix kernels for histogram/partition/probe
+    join_backend: str = "xla"
+    interpret_pallas: bool = False  # force interpreter mode (CPU testing)
+
+    # --- parallelism ---
+    mesh_shape: Optional[tuple] = None  # None => single device
+
+
+DEFAULT = EngineConfig()
