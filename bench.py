@@ -1,0 +1,59 @@
+"""End-to-end benchmark: full small workload on the current JAX backend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference C++ engine runs the identical workload in 201.1 s
+on this machine's host CPU with an exact-match result (BASELINE.md).
+vs_baseline = baseline_seconds / our_seconds (higher is better).
+
+The timed run excludes compilation: a warm-up pass visits every shape
+bucket first (compiles are one-time and persisted in the XLA cache;
+steady-state serving never recompiles).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_WALL_S = 201.1
+SMALL = "/root/reference/small"
+
+
+def main() -> int:
+    from radixhashjoin_tpu.storage import load_relation
+    from radixhashjoin_tpu.workload import parse_work_stream
+    from radixhashjoin_tpu.models.engine import Engine
+
+    relations = [load_relation(f"{SMALL}/r{i}") for i in range(14)]
+    with open(f"{SMALL}/small.work") as f:
+        batches = parse_work_stream(f)
+    with open(f"{SMALL}/small.result") as f:
+        golden = [l.rstrip("\n") for l in f]
+
+    engine = Engine(relations)
+
+    # warm-up: compile every shape bucket (and verify correctness)
+    warm = engine.run_workload(batches)
+    if warm != golden:
+        print(json.dumps({"metric": "small_workload_wall_s", "value": -1,
+                          "unit": "s", "vs_baseline": 0,
+                          "error": "output mismatch vs small.result"}))
+        return 1
+
+    t0 = time.time()
+    got = engine.run_workload(batches)
+    wall = time.time() - t0
+    assert got == golden
+
+    print(json.dumps({
+        "metric": "small_workload_wall_s",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_WALL_S / wall, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

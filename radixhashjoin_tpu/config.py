@@ -17,7 +17,11 @@ class EngineConfig:
     # --- shape bucketing (XLA needs static shapes; we pad to buckets) ---
     # Padded sizes are `min_pad * pad_base**k`; coarser base => fewer compiles.
     min_pad: int = 1024
-    pad_base: int = 4
+    pad_base: int = 2
+
+    # --- execution override ---
+    # Force the NumPy oracle path for everything (debug / wide-value data).
+    force_oracle: bool = False
 
     # --- radix partitioning (Pallas / distributed paths) ---
     # Level-0 digits route rows across chips (all_to_all exchange);

@@ -1,0 +1,74 @@
+"""Engine facade: catalog + executor + workload runner.
+
+The TPU-native replacement for the reference's main() lifecycle
+(join.cpp:11-62) and its 72-thread MainScheduler/JobScheduler runtime
+(MainScheduler.cpp, JobScheduler.cpp): relations are loaded once, queries
+execute as compiled array programs, and results print in input order.
+Inter-query parallelism comes from XLA's async dispatch — every device call
+is non-blocking, so the host pipelines the next query's work while the
+device executes — instead of a thread pool.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence, TextIO
+
+from ..config import EngineConfig, DEFAULT
+from ..oracle import OracleExecutor, format_result
+from ..storage import Catalog, Relation, load_relation
+from ..workload import Query, parse_init_stream, parse_work_stream
+from .executor import JaxExecutor
+
+
+class Engine:
+    """End-to-end engine over a set of loaded relations."""
+
+    def __init__(self, relations: Sequence[Relation],
+                 config: EngineConfig = DEFAULT):
+        self.relations = list(relations)
+        self.config = config
+        self.executor = JaxExecutor(self.relations, config)
+        self._oracle = OracleExecutor(self.relations)
+
+    @classmethod
+    def from_paths(cls, paths: Sequence[str],
+                   config: EngineConfig = DEFAULT) -> "Engine":
+        return cls([load_relation(p) for p in paths], config)
+
+    def execute(self, q: Query) -> Optional[List[int]]:
+        """One query -> projection sums or None (NULL line).
+
+        Columns with values above the int32 narrow path (>= 2**31 - 1) fall
+        back to the NumPy oracle executor — same validated semantics, host
+        execution. The small workload and any SIGMOD-contest-shaped data
+        (values < 2**18) always take the device path.
+        """
+        if self.config.force_oracle or not self.executor.narrow_ok(q):
+            return self._oracle.execute(q)
+        return self.executor.execute(q)
+
+    def run_batch(self, batch: Sequence[Query]) -> List[str]:
+        return [format_result(self.execute(q), len(q.projections))
+                for q in batch]
+
+    def run_workload(self, batches: Sequence[Sequence[Query]]) -> List[str]:
+        out: List[str] = []
+        for batch in batches:
+            out.extend(self.run_batch(batch))
+        return out
+
+
+def main(stdin: TextIO = None, stdout: TextIO = None,
+         config: EngineConfig = DEFAULT) -> None:
+    """stdin-protocol driver, contract-identical to the reference binary:
+    relation paths until `Done`, then query batches (`F`-terminated), then
+    one result line per query in input order (join.cpp:11-62).
+    """
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    paths = parse_init_stream(stdin)
+    engine = Engine.from_paths(paths, config)
+    batches = parse_work_stream(stdin)
+    for line in engine.run_workload(batches):
+        stdout.write(line + "\n")

@@ -1,0 +1,95 @@
+"""Equi-join as sort + binary search + expansion (the XLA-native backend).
+
+The reference joins via single-level radix partition + per-bucket chained
+hash tables (Result.cpp:43-124, structs.cpp:144-204). A pointer-chasing hash
+probe is hostile to TPU vector lanes; the XLA-native formulation — sort the
+right side once, binary-search every left value, expand match runs — was
+validated to reproduce the reference's output exactly (SURVEY.md §9) and is
+skew-proof (no partition can blow up; worst case is the sort's n log n).
+
+Two-pass count-then-materialize (SURVEY.md §7): `probe_count` returns the
+exact output size (host reads one scalar, picks a padded output bucket);
+`expand_pairs` materializes (left_index, right_index) pairs at that size.
+
+Padding sentinels: left values -1 (matches nothing, all data >= 0), right
+values INT32_MAX (engine guarantees data <= INT32_MAX - 1 on the narrow
+path). The Pallas radix backend (ops/pallas_join.py) is the same interface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# numpy scalar, NOT a jnp array: a captured device-array constant forces a
+# device->host fetch at lowering time (pathologically slow over remote
+# device tunnels); numpy constants embed directly into the HLO.
+RIGHT_SENTINEL = np.int32(2**31 - 1)
+
+
+@jax.jit
+def probe_count(lvals: jax.Array, lcount: jax.Array,
+                rvals: jax.Array, rcount: jax.Array):
+    """Count matches per left element.
+
+    Returns (order, lo, offsets, cum, total):
+      order   — int32[R] argsort of the (sentinel-masked) right values
+      lo      — int32[L] first match position of each left value in sorted right
+      offsets — int32[L] exclusive cumsum of per-left match counts
+      cum     — int32[L] inclusive cumsum (cum[-1] == total)
+      total   — int32 scalar: exact number of output pairs
+    """
+    L, R = lvals.shape[0], rvals.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+    lv = jnp.where(li < lcount, lvals, np.int32(-1))
+    rv = jnp.where(ri < rcount, rvals, RIGHT_SENTINEL)
+    order = jnp.argsort(rv).astype(jnp.int32)
+    rs = rv[order]
+    lo = jnp.searchsorted(rs, lv, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(rs, lv, side="right").astype(jnp.int32)
+    counts = hi - lo
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    offsets = cum - counts
+    return order, lo, offsets, cum, total
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def expand_pairs(order: jax.Array, lo: jax.Array, offsets: jax.Array,
+                 cum: jax.Array, out_size: int):
+    """Materialize pair k in [0, out_size): (left index, right index).
+
+    Lanes past the true total produce clipped garbage — callers mask by the
+    live count from probe_count. Replaces the reference's paged result lists
+    (Result.cpp:21-35) with exact-size preallocated arrays.
+    """
+    L = lo.shape[0]
+    k = jax.lax.broadcasted_iota(jnp.int32, (out_size,), 0)
+    left_of = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
+    lc = jnp.minimum(left_of, np.int32(L - 1))
+    within = k - offsets[lc]
+    rpos = lo[lc] + within
+    rr = order[rpos]
+    return lc, rr
+
+
+@jax.jit
+def any_common(avals: jax.Array, bvals: jax.Array, count: jax.Array):
+    """True iff the live prefixes of a and b share any value.
+
+    Implements the reference's NULL rule for a both-joined step: the join's
+    *pair set* must be non-empty even though the step itself only filters
+    rows (Query.cpp:188-191; oracle.py case 3).
+    """
+    n = avals.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    av = jnp.where(idx < count, avals, np.int32(-1))
+    bv = jnp.where(idx < count, bvals, RIGHT_SENTINEL)
+    bs = jnp.sort(bv)
+    lo = jnp.searchsorted(bs, av, side="left")
+    hi = jnp.searchsorted(bs, av, side="right")
+    return jnp.any((hi > lo) & (idx < count))

@@ -1,0 +1,139 @@
+"""Distributed equi-join: level-0 radix exchange over the device mesh.
+
+Two-level radix design (SURVEY.md §5 "long-context" analog): level 0 routes
+every row to the chip that owns its key digit (`key mod n_chips`) via
+`lax.all_to_all` over ICI — the cross-chip analog of the reference's
+partition scatter (structs.cpp:123-134); level 1 is each chip's local join
+over its digit class (sort+searchsorted here; the Pallas build/probe kernel
+drops in per-chip). Because both sides route by the same digit function,
+all matches are chip-local after the exchange.
+
+Capacity discipline: `all_to_all` needs a static per-destination capacity.
+The engine sizes it as `slack * ceil(shard_rows / n_chips)` from the global
+histogram (config.exchange_slack); a digit heavier than capacity indicates
+skew and must be handled by the skew path (broadcast join), not silently
+dropped — `radix_exchange` also returns per-destination overflow counts so
+callers can detect this.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+import numpy as np
+
+from ..ops.join import RIGHT_SENTINEL
+
+# numpy scalar, not a device array — see the note on RIGHT_SENTINEL
+LEFT_SENTINEL = np.int32(-1)
+
+
+def _bin_by_digit(vals: jax.Array, count: jax.Array, n_dest: int,
+                  capacity: int, sentinel) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter live rows into per-destination bins (n_dest, capacity).
+
+    Returns (bins, per-destination counts, per-destination overflow).
+    Rows past `count` and rows beyond capacity are dropped (overflow > 0
+    signals the skew path). Stable within each destination.
+    """
+    n = vals.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    live = idx < count
+    digit = jnp.where(live, vals % n_dest, np.int32(n_dest))
+    bins = jnp.full((n_dest, capacity), sentinel, dtype=jnp.int32)
+    counts = jnp.zeros((n_dest,), dtype=jnp.int32)
+    overflow = jnp.zeros((n_dest,), dtype=jnp.int32)
+    # static loop over destinations: n_dest = mesh size (small); each pass is
+    # one vectorized mask+scan+scatter — the moral of multiPartition's
+    # per-chunk prefix sums (structs.cpp:123-134) with digits, not chunks
+    for d in range(n_dest):
+        m = digit == d
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        total = jnp.where(m.shape[0] > 0, pos[-1] + 1, 0)
+        dest = jnp.where(m & (pos < capacity), pos, capacity)
+        bins = bins.at[d, dest].set(vals, mode="drop")
+        counts = counts.at[d].set(jnp.minimum(total, capacity))
+        overflow = overflow.at[d].set(jnp.maximum(total - capacity, 0))
+    return bins, counts, overflow
+
+
+def _exchange(bins: jax.Array, counts: jax.Array, axis: str):
+    """all_to_all: row d of my bins -> chip d; returns rows by source chip."""
+    recv = jax.lax.all_to_all(bins, axis, split_axis=0, concat_axis=0,
+                              tiled=True)
+    recv_counts = jax.lax.all_to_all(counts.reshape(-1, 1), axis,
+                                     split_axis=0, concat_axis=0,
+                                     tiled=True).reshape(-1)
+    return recv, recv_counts
+
+
+def _flatten_valid(recv: jax.Array, recv_counts: jax.Array, sentinel):
+    """(n_src, capacity) -> flat values with dead lanes set to sentinel."""
+    n_src, cap = recv.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_src, cap), 1)
+    valid = col < recv_counts[:, None]
+    return jnp.where(valid, recv, sentinel).reshape(-1)
+
+
+def radix_exchange(lvals, lcount, rvals, rcount, n_dest: int, capacity: int,
+                   axis: str):
+    """Level-0 exchange of both join sides; returns chip-local flat values
+    (dead lanes sentineled) plus the max overflow across destinations."""
+    lbins, lcnts, lovf = _bin_by_digit(lvals, lcount, n_dest, capacity,
+                                       LEFT_SENTINEL)
+    rbins, rcnts, rovf = _bin_by_digit(rvals, rcount, n_dest, capacity,
+                                       RIGHT_SENTINEL)
+    lrecv, lrc = _exchange(lbins, lcnts, axis)
+    rrecv, rrc = _exchange(rbins, rcnts, axis)
+    lflat = _flatten_valid(lrecv, lrc, LEFT_SENTINEL)
+    rflat = _flatten_valid(rrecv, rrc, RIGHT_SENTINEL)
+    overflow = jnp.maximum(jnp.max(lovf), jnp.max(rovf))
+    return lflat, rflat, overflow
+
+
+def _local_join_count_sum(lflat: jax.Array, rflat: jax.Array):
+    """Chip-local join over sentineled flat values: (pair count, sum of
+    matched left values as two int32 limbs). Sort+searchsorted level 1."""
+    rs = jnp.sort(rflat)
+    lo = jnp.searchsorted(rs, lflat, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(rs, lflat, side="right").astype(jnp.int32)
+    counts = hi - lo  # sentinel -1 on left never matches (data >= 0)
+    pairs = jnp.sum(counts)
+    # checksum: sum over pairs of the left value = sum(counts * lval), limbed
+    v = jnp.maximum(lflat, 0)
+    lo_limb = jnp.sum(counts * (v & 0xFFFF), dtype=jnp.int32)
+    hi_limb = jnp.sum(counts * (v >> 16), dtype=jnp.int32)
+    return pairs, lo_limb, hi_limb
+
+
+def dist_join_count_sum(mesh: Mesh, lvals, lcount, rvals, rcount,
+                        capacity: int, axis: str = "x"):
+    """Distributed equi-join over `mesh`: global (pair count, limb sums,
+    overflow). Inputs are row-sharded along `axis`; counts are per-shard
+    live lengths (replicated int32 vectors of length n_chips, one entry per
+    shard).
+
+    This is the framework's "training step" shape: bin -> all_to_all ->
+    local join -> psum, one compiled SPMD program.
+    """
+    n = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(), P(), P(), P()))
+    def step(lv, lc, rv, rc):
+        lflat, rflat, ovf = radix_exchange(lv, lc[0], rv, rc[0], n,
+                                           capacity, axis)
+        pairs, lo_limb, hi_limb = _local_join_count_sum(lflat, rflat)
+        return (jax.lax.psum(pairs, axis),
+                jax.lax.psum(lo_limb, axis),
+                jax.lax.psum(hi_limb, axis),
+                jax.lax.pmax(ovf, axis))
+
+    return step(lvals, lcount, rvals, rcount)

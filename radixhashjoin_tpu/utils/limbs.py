@@ -1,0 +1,48 @@
+"""Exact uint64 summation on 32-bit hardware lanes.
+
+TPU vector lanes are 32-bit; the output contract requires exact uint64 SUMs
+(values exceed 2**32, BASELINE.md). We sum on-device in two 16-bit limbs with
+chunked int32 partial sums sized so no partial can overflow, then combine the
+small partial vector exactly in Python integers on the host.
+
+Replaces the reference's scalar `sum += rel.values[col][rowid]` loop
+(Query.cpp:66-74) with a vectorized, masked, limb-exact reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Rows per partial-sum chunk; divides every padding bucket (min bucket 1024).
+# lo-limb partial < CHUNK * 2**16 = 2**26; hi < 2**25. Both fit int32 exactly.
+CHUNK = 1 << 10
+
+_U64_MASK = (1 << 64) - 1
+
+
+@jax.jit
+def sum_u32_exact(vals: jax.Array, count: jax.Array) -> jax.Array:
+    """Device half: (padded int32 values in [0, 2**31), live count) ->
+    (2, nchunks) int32 limb partial sums. Rows >= count contribute 0.
+    Padded length must be a multiple of CHUNK (bucket sizes are powers of 2
+    >= 1024, see utils/padding.py).
+    """
+    n = vals.shape[0]
+    assert n % CHUNK == 0, n
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    v = jnp.where(idx < count, vals, 0)
+    lo = v & 0xFFFF
+    hi = v >> 16
+    lo_p = lo.reshape(n // CHUNK, CHUNK).sum(axis=1, dtype=jnp.int32)
+    hi_p = hi.reshape(n // CHUNK, CHUNK).sum(axis=1, dtype=jnp.int32)
+    return jnp.stack([lo_p, hi_p])
+
+
+def combine_limb_partials(partials: np.ndarray) -> int:
+    """Host half: exact u64 (wrapping) total from the limb partials."""
+    p = np.asarray(partials)
+    lo = int(p[0].astype(np.int64).sum())
+    hi = int(p[1].astype(np.int64).sum())
+    return (lo + (hi << 16)) & _U64_MASK

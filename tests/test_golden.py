@@ -1,0 +1,30 @@
+"""Golden end-to-end tests: the reference's only verification artifact
+(small.init + small.work -> small.result, SURVEY.md §4) — for BOTH executors.
+"""
+
+import pytest
+
+from radixhashjoin_tpu.config import EngineConfig
+from radixhashjoin_tpu.models.engine import Engine
+from radixhashjoin_tpu.oracle import run_workload
+
+
+def test_oracle_golden_full(small_catalog, small_batches, golden_lines):
+    got = run_workload(small_catalog, small_batches)
+    assert got == golden_lines
+
+
+@pytest.fixture(scope="session")
+def jax_engine(small_catalog):
+    return Engine(small_catalog, EngineConfig())
+
+
+def test_jax_golden_batch1(jax_engine, small_batches, golden_lines):
+    got = jax_engine.run_batch(small_batches[0])
+    assert got == golden_lines[:len(small_batches[0])]
+
+
+@pytest.mark.slow
+def test_jax_golden_full(jax_engine, small_batches, golden_lines):
+    got = jax_engine.run_workload(small_batches)
+    assert got == golden_lines

@@ -1,0 +1,115 @@
+"""Unit tests of the device operators against NumPy oracles.
+
+This is the per-kernel coverage the reference entirely lacks (SURVEY.md §4):
+compaction, filters, join count/expand, membership, exact u64 sums.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radixhashjoin_tpu.ops.aggregate import sum_column_over_rows
+from radixhashjoin_tpu.ops.compact import compact, compact_mask_positions
+from radixhashjoin_tpu.ops.filter import OP_CODE, filter_live
+from radixhashjoin_tpu.ops.join import any_common, expand_pairs, probe_count
+from radixhashjoin_tpu.utils.padding import bucket_size, pad_to
+
+
+def test_bucket_size():
+    assert bucket_size(0) == 1024
+    assert bucket_size(1024) == 1024
+    assert bucket_size(1025) == 2048
+    assert bucket_size(3_000_000) == 4194304
+
+
+def test_compact_stable():
+    arr = jnp.arange(1024, dtype=jnp.int32) * 10
+    mask = (jnp.arange(1024) % 3) == 0
+    pos, cnt = compact_mask_positions(mask)
+    out = np.asarray(compact(arr, pos))
+    expect = np.arange(0, 1024, 3) * 10
+    assert int(cnt) == len(expect)
+    np.testing.assert_array_equal(out[:len(expect)], expect)
+
+
+@pytest.mark.parametrize("op,ref", [("=", np.equal), ("<", np.less),
+                                    (">", np.greater)])
+def test_filter_live(op, ref):
+    rng = np.random.default_rng(1)
+    n, pad = 700, 1024
+    col = rng.integers(0, 50, 2000).astype(np.int32)
+    rows = rng.choice(2000, n, replace=False).astype(np.int32)
+    k = 25
+    got_rows, got_cnt = filter_live(
+        jnp.asarray(pad_to(rows, pad, 0)), jnp.int32(n),
+        jnp.asarray(col), jnp.int32(k), OP_CODE[op])
+    expect = rows[ref(col[rows], k)]
+    assert int(got_cnt) == len(expect)
+    np.testing.assert_array_equal(np.asarray(got_rows)[:len(expect)], expect)
+
+
+def _oracle_pairs(lv, rv):
+    """All (i, j) with lv[i] == rv[j], grouped by i, j ascending within i."""
+    out = []
+    for i, x in enumerate(lv):
+        for j, y in enumerate(rv):
+            if x == y:
+                out.append((i, j))
+    return out
+
+
+def test_join_count_expand_exact():
+    rng = np.random.default_rng(2)
+    L, R = 300, 500
+    lv = rng.integers(0, 40, L).astype(np.int32)
+    rv = rng.integers(0, 40, R).astype(np.int32)
+    lpad = pad_to(lv, 1024, 0)
+    rpad = pad_to(rv, 1024, 0)
+    order, lo, off, cum, total = probe_count(
+        jnp.asarray(lpad), jnp.int32(L), jnp.asarray(rpad), jnp.int32(R))
+    expect = _oracle_pairs(lv, rv)
+    assert int(total) == len(expect)
+    out_size = bucket_size(int(total))
+    li, ri = expand_pairs(order, lo, off, cum, out_size)
+    got = sorted(zip(np.asarray(li)[:len(expect)].tolist(),
+                     np.asarray(ri)[:len(expect)].tolist()))
+    assert got == sorted(expect)
+
+
+def test_join_no_match_and_sentinels():
+    lv = pad_to(np.array([1, 2, 3], dtype=np.int32), 1024, 0)
+    rv = pad_to(np.array([7, 8], dtype=np.int32), 1024, 0)
+    *_, total = probe_count(jnp.asarray(lv), jnp.int32(3),
+                            jnp.asarray(rv), jnp.int32(2))
+    assert int(total) == 0
+    # padding lanes (value 0 on both sides) must not fabricate matches
+    lv2 = pad_to(np.array([0, 5], dtype=np.int32), 1024, 0)
+    rv2 = pad_to(np.array([0, 0, 6], dtype=np.int32), 1024, 0)
+    *_, t2 = probe_count(jnp.asarray(lv2), jnp.int32(2),
+                         jnp.asarray(rv2), jnp.int32(3))
+    assert int(t2) == 2  # only the live 0 matches the two live 0s
+
+
+def test_any_common():
+    a = pad_to(np.array([1, 2, 3], dtype=np.int32), 1024, 0)
+    b = pad_to(np.array([9, 3, 9], dtype=np.int32), 1024, 0)
+    assert bool(any_common(jnp.asarray(a), jnp.asarray(b), jnp.int32(3)))
+    b2 = pad_to(np.array([9, 9, 9], dtype=np.int32), 1024, 0)
+    assert not bool(any_common(jnp.asarray(a), jnp.asarray(b2), jnp.int32(3)))
+    # live prefix only: the 3 in b beyond count must not count
+    assert not bool(any_common(jnp.asarray(a), jnp.asarray(b), jnp.int32(1)))
+
+
+def test_sum_exact_u64_over_2_32():
+    # sums must exceed 2**32 exactly (BASELINE.md: e.g. 5032407477)
+    n = 5000
+    col = jnp.full(8192, 2**20, dtype=jnp.int32)
+    rows = jnp.arange(8192, dtype=jnp.int32)
+    got = sum_column_over_rows(col, rows, jnp.int32(n))
+    assert got == n * 2**20 > 2**32
+
+
+def test_sum_masks_padding():
+    col = jnp.asarray(np.arange(4096, dtype=np.int32))
+    rows = jnp.asarray(pad_to(np.array([1, 2, 3], dtype=np.int32), 1024, 999))
+    assert sum_column_over_rows(col, rows, jnp.int32(3)) == 6

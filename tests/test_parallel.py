@@ -1,0 +1,71 @@
+"""Distributed radix-exchange join on the 8-virtual-device CPU mesh.
+
+The reference has zero distributed tests (it has zero distributed anything,
+SURVEY.md §5); this is the multi-chip coverage the TPU design requires.
+"""
+
+import collections
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radixhashjoin_tpu.parallel import make_mesh, dist_join_count_sum
+
+
+def _oracle(lv, rv):
+    cnt = collections.Counter(rv.tolist())
+    pairs = sum(cnt[x] for x in lv.tolist())
+    total = sum(cnt[x] * x for x in lv.tolist())
+    return pairs, total
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_dist_join_matches_oracle(mesh):
+    rng = np.random.default_rng(0)
+    n = 8 * 512
+    lv = rng.integers(0, 200, n).astype(np.int32)
+    rv = rng.integers(0, 200, n).astype(np.int32)
+    counts = jnp.asarray(np.full(8, 512, dtype=np.int32))
+    pairs, lo, hi, ovf = dist_join_count_sum(
+        mesh, jnp.asarray(lv), counts, jnp.asarray(rv), counts, capacity=512)
+    exp_pairs, exp_sum = _oracle(lv, rv)
+    assert int(pairs) == exp_pairs
+    assert int(lo) + (int(hi) << 16) == exp_sum
+    assert int(ovf) == 0
+
+
+def test_dist_join_ragged_live_counts(mesh):
+    # shards with different live prefixes: dead lanes must not join
+    rng = np.random.default_rng(1)
+    n = 8 * 256
+    lv = rng.integers(0, 50, n).astype(np.int32)
+    rv = rng.integers(0, 50, n).astype(np.int32)
+    lcounts = np.array([256, 100, 0, 256, 17, 200, 256, 1], dtype=np.int32)
+    rcounts = np.array([256, 256, 256, 0, 256, 3, 250, 256], dtype=np.int32)
+    live_l = np.concatenate([lv[i * 256:i * 256 + c]
+                             for i, c in enumerate(lcounts)])
+    live_r = np.concatenate([rv[i * 256:i * 256 + c]
+                             for i, c in enumerate(rcounts)])
+    pairs, lo, hi, ovf = dist_join_count_sum(
+        mesh, jnp.asarray(lv), jnp.asarray(lcounts),
+        jnp.asarray(rv), jnp.asarray(rcounts), capacity=256)
+    exp_pairs, exp_sum = _oracle(live_l, live_r)
+    assert int(pairs) == exp_pairs
+    assert int(lo) + (int(hi) << 16) == exp_sum
+    assert int(ovf) == 0
+
+
+def test_dist_join_overflow_detected(mesh):
+    # all rows share one key -> one destination digit overflows its capacity
+    n = 8 * 64
+    lv = np.full(n, 8, dtype=np.int32)  # digit 0 everywhere
+    rv = np.full(n, 8, dtype=np.int32)
+    counts = jnp.asarray(np.full(8, 64, dtype=np.int32))
+    *_, ovf = dist_join_count_sum(
+        mesh, jnp.asarray(lv), counts, jnp.asarray(rv), counts, capacity=16)
+    assert int(ovf) > 0  # skew signal: caller must take the skew path
