@@ -22,6 +22,9 @@ class EngineConfig:
     # --- execution override ---
     # Force the NumPy oracle path for everything (debug / wide-value data).
     force_oracle: bool = False
+    # Wave-batched breadth-first execution across a query batch (few
+    # device->host readbacks per batch); False = one query at a time.
+    batch_execution: bool = True
 
     # --- radix partitioning (Pallas / distributed paths) ---
     # Level-0 digits route rows across chips (all_to_all exchange);

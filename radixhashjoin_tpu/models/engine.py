@@ -18,6 +18,7 @@ from ..config import EngineConfig, DEFAULT
 from ..oracle import OracleExecutor, format_result
 from ..storage import Catalog, Relation, load_relation
 from ..workload import Query, parse_init_stream, parse_work_stream
+from .batch import BatchExecutor
 from .executor import JaxExecutor
 
 
@@ -29,6 +30,7 @@ class Engine:
         self.relations = list(relations)
         self.config = config
         self.executor = JaxExecutor(self.relations, config)
+        self.batch_executor = BatchExecutor(self.relations, config)
         self._oracle = OracleExecutor(self.relations)
 
     @classmethod
@@ -49,8 +51,24 @@ class Engine:
         return self.executor.execute(q)
 
     def run_batch(self, batch: Sequence[Query]) -> List[str]:
-        return [format_result(self.execute(q), len(q.projections))
-                for q in batch]
+        """One query batch, wave-parallel on device (models/batch.py) —
+        the TPU-native analog of the reference executing every query of a
+        batch concurrently on its thread pool (join.cpp:42-49)."""
+        if self.config.force_oracle or not self.config.batch_execution:
+            return [format_result(self.execute(q), len(q.projections))
+                    for q in batch]
+        device_idx = [i for i, q in enumerate(batch)
+                      if self.executor.narrow_ok(q)]
+        out: List[Optional[List[int]]] = [None] * len(batch)
+        if device_idx:
+            got = self.batch_executor.run_batch([batch[i] for i in device_idx])
+            for i, r in zip(device_idx, got):
+                out[i] = r
+        for i, q in enumerate(batch):
+            if i not in device_idx:
+                out[i] = self._oracle.execute(q)
+        return [format_result(out[i], len(q.projections))
+                for i, q in enumerate(batch)]
 
     def run_workload(self, batches: Sequence[Sequence[Query]]) -> List[str]:
         out: List[str] = []

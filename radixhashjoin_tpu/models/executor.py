@@ -31,7 +31,7 @@ import numpy as np
 from ..config import EngineConfig, DEFAULT
 from ..ops.aggregate import sum_column_over_rows
 from ..ops.compact import compact, compact_mask_positions
-from ..ops.filter import OP_CODE, filter_live
+from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
 from ..ops.join import any_common, expand_pairs, probe_count
 from ..storage import Relation
 from ..utils.padding import bucket_size
@@ -119,7 +119,8 @@ class JaxExecutor:
             col = self._col(q.slots[f.slot], f.col)
             lv = live[f.slot]
             rows, cnt = filter_live(lv.rows, jnp.int32(lv.count), col,
-                                    jnp.int32(f.value), OP_CODE[f.op])
+                                    narrow_filter_value(f.op, f.value),
+                                    OP_CODE[f.op])
             cnt = int(cnt)
             if cnt == 0:
                 return None

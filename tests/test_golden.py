@@ -19,7 +19,14 @@ def jax_engine(small_catalog):
     return Engine(small_catalog, EngineConfig())
 
 
-def test_jax_golden_batch1(jax_engine, small_batches, golden_lines):
+def test_jax_per_query_golden_batch1(small_catalog, small_batches,
+                                     golden_lines):
+    eng = Engine(small_catalog, EngineConfig(batch_execution=False))
+    got = eng.run_batch(small_batches[0])
+    assert got == golden_lines[:len(small_batches[0])]
+
+
+def test_jax_batched_golden_batch1(jax_engine, small_batches, golden_lines):
     got = jax_engine.run_batch(small_batches[0])
     assert got == golden_lines[:len(small_batches[0])]
 
