@@ -25,6 +25,8 @@ class EngineConfig:
     # Wave-batched breadth-first execution across a query batch (few
     # device->host readbacks per batch); False = one query at a time.
     batch_execution: bool = True
+    # Prefer the native (C++) host runtime for loading/parsing when built.
+    use_native_runtime: bool = True
 
     # --- radix partitioning (Pallas / distributed paths) ---
     # Level-0 digits route rows across chips (all_to_all exchange);

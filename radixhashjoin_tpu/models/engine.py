@@ -36,6 +36,10 @@ class Engine:
     @classmethod
     def from_paths(cls, paths: Sequence[str],
                    config: EngineConfig = DEFAULT) -> "Engine":
+        """Load relations, preferring the native (C++) loader when built."""
+        from ..runtime import load_relation_native, native_available
+        if config.use_native_runtime and native_available():
+            return cls([load_relation_native(p) for p in paths], config)
         return cls([load_relation(p) for p in paths], config)
 
     def execute(self, q: Query) -> Optional[List[int]]:
@@ -83,10 +87,15 @@ def main(stdin: TextIO = None, stdout: TextIO = None,
     relation paths until `Done`, then query batches (`F`-terminated), then
     one result line per query in input order (join.cpp:11-62).
     """
+    from ..runtime import parse_work_native, native_available
+
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     paths = parse_init_stream(stdin)
     engine = Engine.from_paths(paths, config)
-    batches = parse_work_stream(stdin)
+    if config.use_native_runtime and native_available():
+        batches = parse_work_native(stdin.read())
+    else:
+        batches = parse_work_stream(stdin)
     for line in engine.run_workload(batches):
         stdout.write(line + "\n")
