@@ -13,11 +13,13 @@ versus one readback per operator in the naive executor. Over a remote
 device transport (30-80 ms/readback on the axon tunnel) this is the
 difference between readback-bound and compute-bound execution.
 
-Device-side counts: filter and compaction counts stay on device as int32
-scalars threaded into downstream ops; they are never read back. NULL
-detection defers to flag readback at the end (filter-emptied slot, empty
-pair set of a both-joined step) or falls out of the join-total readback
-(cases 1/2). Semantics are identical to oracle.py / JaxExecutor.
+Representation: each query's intermediate is ONE (k, P) int32 device
+matrix — row j is the rowid column of the j-th joined slot (vs the
+reference's per-slot vectors, intermediate.h) — so every chaining case is
+a single fused program (ops/chain.py) and dispatch count stays small.
+Counts stay on device; NULL detection defers to a flag readback (filter-
+emptied slot, empty pair set of a both-joined step) or falls out of the
+join-total readback (cases 1/2). Semantics identical to oracle.py.
 """
 
 from __future__ import annotations
@@ -29,32 +31,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, DEFAULT
-from ..ops.aggregate import _gather_partials
-from ..ops.compact import compact, compact_mask_positions
+from ..ops.aggregate import gather_partials_matrix
+from ..ops.chain import (eq_filter_matrix, eq_filter_rows, expand_attach_fresh,
+                         expand_fresh_pair, probe_matrix, probe_rows)
 from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
-from ..ops.join import any_common, expand_pairs, probe_count
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials
 from ..workload import Query
 from .device_catalog import DeviceCatalog
-from .executor import _eq_mask, _gather
 
 
 class _QState:
-    __slots__ = ("q", "live_rows", "live_cnt", "inter", "icount", "null",
-                 "flags", "probe", "fresh_slot", "sums")
+    __slots__ = ("q", "live_rows", "live_cnt", "mat", "slot_row", "icount",
+                 "null", "flags", "probe", "fresh_slot", "sums")
 
     def __init__(self, q: Query):
         self.q = q
         self.live_rows: List[jax.Array] = []
         self.live_cnt: List[object] = []      # device int32 or np.int32
-        self.inter: Dict[int, jax.Array] = {}
+        self.mat: Optional[jax.Array] = None  # (k, P) intermediate matrix
+        self.slot_row: Dict[int, int] = {}    # slot -> matrix row
         self.icount: object = np.int32(0)
         self.null = False                      # decided on host (join total 0)
         self.flags: List[jax.Array] = []       # device bools, OR'd at the end
         self.probe = None
         self.fresh_slot = None
-        self.sums: List[object] = []           # 0 or (partials array, slice)
+        self.sums: List[object] = []           # 0 or limb-partials array
 
 
 class BatchExecutor:
@@ -95,50 +97,42 @@ class BatchExecutor:
 
         if s1 == s2:
             # same-slot predicate: row filter, never NULL (Query.cpp:168-170)
-            if s1 not in st.inter:
-                rows, cnt = st.live_rows[s1], st.live_cnt[s1]
-                m = _eq_mask(_gather(colA, rows), _gather(colB, rows), cnt)
-                pos, ncnt = compact_mask_positions(m)
-                st.live_rows[s1], st.live_cnt[s1] = compact(rows, pos), ncnt
+            if s1 not in st.slot_row:
+                rows, cnt = eq_filter_rows(colA, colB, st.live_rows[s1],
+                                           st.live_cnt[s1])
+                st.live_rows[s1], st.live_cnt[s1] = rows, cnt
             else:
-                m = _eq_mask(_gather(colA, st.inter[s1]),
-                             _gather(colB, st.inter[s2]), st.icount)
-                pos, ncnt = compact_mask_positions(m)
-                st.inter = {s: compact(v, pos) for s, v in st.inter.items()}
-                st.icount = ncnt
+                mat, cnt, _ = eq_filter_matrix(
+                    colA, colB, st.mat, st.slot_row[s1], st.slot_row[s2],
+                    st.icount)
+                st.mat, st.icount = mat, cnt
             return False
 
-        j1, j2 = s1 in st.inter, s2 in st.inter
+        j1, j2 = s1 in st.slot_row, s2 in st.slot_row
         if j1 and j2:
             # case 3: row filter; NULL iff pair set empty -> deferred flag
-            v1 = _gather(colA, st.inter[s1])
-            v2 = _gather(colB, st.inter[s2])
-            st.flags.append(~any_common(v1, v2, st.icount))
-            m = _eq_mask(v1, v2, st.icount)
-            pos, ncnt = compact_mask_positions(m)
-            st.inter = {s: compact(v, pos) for s, v in st.inter.items()}
-            st.icount = ncnt
+            mat, cnt, nonempty = eq_filter_matrix(
+                colA, colB, st.mat, st.slot_row[s1], st.slot_row[s2],
+                st.icount)
+            st.mat, st.icount = mat, cnt
+            st.flags.append(~nonempty)
             return False
 
         if not j1 and not j2:
             # case 1: probe between live sets
-            lvals = _gather(colA, st.live_rows[s1])
-            rvals = _gather(colB, st.live_rows[s2])
-            st.probe = probe_count(lvals, st.live_cnt[s1],
-                                   rvals, st.live_cnt[s2])
+            st.probe = probe_rows(colA, st.live_rows[s1], st.live_cnt[s1],
+                                  colB, st.live_rows[s2], st.live_cnt[s2])
             st.fresh_slot = None
         else:
             # case 2: probe intermediate (full side) against fresh live set
             if j1:
-                full_vals = _gather(colA, st.inter[s1])
-                fresh = s2
-                fresh_vals = _gather(colB, st.live_rows[s2])
+                full, fresh, col_full, col_fresh = s1, s2, colA, colB
             else:
-                full_vals = _gather(colB, st.inter[s2])
-                fresh = s1
-                fresh_vals = _gather(colA, st.live_rows[s1])
-            st.probe = probe_count(full_vals, st.icount,
-                                   fresh_vals, st.live_cnt[fresh])
+                full, fresh, col_full, col_fresh = s2, s1, colB, colA
+            st.probe = probe_matrix(col_full, st.mat,
+                                    np.int32(st.slot_row[full]), st.icount,
+                                    col_fresh, st.live_rows[fresh],
+                                    st.live_cnt[fresh])
             st.fresh_slot = fresh
         return True
 
@@ -149,25 +143,32 @@ class BatchExecutor:
             return
         j = st.q.joins[k]
         order, lo, off, cum, _ = st.probe
-        li, ri = expand_pairs(order, lo, off, cum, self.catalog.bucket(total))
+        out_size = self.catalog.bucket(total)
         if st.fresh_slot is None:
-            st.inter = {j.slot1: _gather(st.live_rows[j.slot1], li),
-                        j.slot2: _gather(st.live_rows[j.slot2], ri)}
+            # case 1 discards any other slot's data (quirk SURVEY.md §8.5)
+            st.mat = expand_fresh_pair(order, lo, off, cum,
+                                       st.live_rows[j.slot1],
+                                       st.live_rows[j.slot2], out_size)
+            st.slot_row = {j.slot1: 0, j.slot2: 1}
         else:
-            st.inter = {s: _gather(v, li) for s, v in st.inter.items()}
-            st.inter[st.fresh_slot] = _gather(st.live_rows[st.fresh_slot], ri)
+            st.mat = expand_attach_fresh(order, lo, off, cum, st.mat,
+                                         st.live_rows[st.fresh_slot],
+                                         out_size)
+            st.slot_row[st.fresh_slot] = st.mat.shape[0] - 1
         st.icount = np.int32(total)
         st.probe = None
 
     def _projections(self, st: _QState) -> None:
         cat = self.catalog
         for p in st.q.projections:
-            rows = st.inter.get(p.slot)
-            if rows is None:
+            row = st.slot_row.get(p.slot)
+            if row is None:
                 st.sums.append(0)
             else:
                 col = cat.col(st.q.slots[p.slot], p.col)
-                st.sums.append(_gather_partials(col, rows, st.icount))
+                st.sums.append(gather_partials_matrix(col, st.mat,
+                                                      np.int32(row),
+                                                      st.icount))
 
     # ---- driver ----
 

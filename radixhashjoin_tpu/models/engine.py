@@ -20,6 +20,7 @@ from ..storage import Catalog, Relation, load_relation
 from ..workload import Query, parse_init_stream, parse_work_stream
 from .batch import BatchExecutor
 from .executor import JaxExecutor
+from .planner import reorder_joins
 
 
 class Engine:
@@ -50,9 +51,18 @@ class Engine:
         execution. The small workload and any SIGMOD-contest-shaped data
         (values < 2**18) always take the device path.
         """
+        q = self._plan(q)
         if self.config.force_oracle or not self.executor.narrow_ok(q):
             return self._oracle.execute(q)
         return self.executor.execute(q)
+
+    def _plan(self, q: Query) -> Query:
+        """Stats-driven join reordering (the optimizer the reference never
+        implemented, README.md:62-64); off by default for written-order
+        parity."""
+        if self.config.enable_join_reordering:
+            return reorder_joins(q, self.relations)
+        return q
 
     def run_batch(self, batch: Sequence[Query]) -> List[str]:
         """One query batch, wave-parallel on device (models/batch.py) —
@@ -61,6 +71,7 @@ class Engine:
         if self.config.force_oracle or not self.config.batch_execution:
             return [format_result(self.execute(q), len(q.projections))
                     for q in batch]
+        batch = [self._plan(q) for q in batch]
         device_idx = [i for i, q in enumerate(batch)
                       if self.executor.narrow_ok(q)]
         out: List[Optional[List[int]]] = [None] * len(batch)
@@ -75,6 +86,13 @@ class Engine:
                 for i, q in enumerate(batch)]
 
     def run_workload(self, batches: Sequence[Sequence[Query]]) -> List[str]:
+        """All batches at once: batch framing is parse-level only — the
+        reference also schedules every query of every batch before printing
+        (join.cpp:42-55, SURVEY.md §8.11). One mega-batch maximizes wave
+        width and minimizes readbacks."""
+        if self.config.batch_execution and len(batches) > 1:
+            flat = [q for batch in batches for q in batch]
+            return self.run_batch(flat)
         out: List[str] = []
         for batch in batches:
             out.extend(self.run_batch(batch))

@@ -28,6 +28,13 @@ def _gather_partials(col: jax.Array, rows: jax.Array, count: jax.Array):
     return jnp.stack([lo_p, hi_p])
 
 
+@jax.jit
+def gather_partials_matrix(col: jax.Array, mat: jax.Array, row_idx,
+                           count: jax.Array):
+    """_gather_partials with the rows taken from an intermediate-matrix row."""
+    return _gather_partials(col, mat[row_idx], count)
+
+
 def sum_column_over_rows(col: jax.Array, rows: jax.Array, count) -> int:
     """Exact u64 sum of col[rows[:count]] (device reduce + host combine)."""
     partials = _gather_partials(col, rows, count)
