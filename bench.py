@@ -13,6 +13,7 @@ steady-state serving never recompiles).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -21,6 +22,7 @@ SMALL = "/root/reference/small"
 
 
 def main() -> int:
+    from radixhashjoin_tpu.config import EngineConfig
     from radixhashjoin_tpu.storage import load_relation
     from radixhashjoin_tpu.workload import parse_work_stream
     from radixhashjoin_tpu.models.engine import Engine
@@ -31,7 +33,8 @@ def main() -> int:
     with open(f"{SMALL}/small.result") as f:
         golden = [l.rstrip("\n") for l in f]
 
-    engine = Engine(relations)
+    profile = bool(os.environ.get("RHJ_PROFILE"))
+    engine = Engine(relations, EngineConfig(profile=profile))
 
     # warm-up: compile every shape bucket (and verify correctness)
     warm = engine.run_workload(batches)
@@ -41,10 +44,14 @@ def main() -> int:
                           "error": "output mismatch vs small.result"}))
         return 1
 
+    if profile:
+        engine.batch_executor.profiler.reset()
     t0 = time.time()
     got = engine.run_workload(batches)
     wall = time.time() - t0
     assert got == golden
+    if profile:
+        print(engine.batch_executor.profiler.report(), file=sys.stderr)
 
     print(json.dumps({
         "metric": "small_workload_wall_s",

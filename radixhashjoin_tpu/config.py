@@ -28,6 +28,11 @@ class EngineConfig:
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 
+    # --- observability ---
+    # Per-operator timing + roofline accounting (synchronizes every op:
+    # accurate per-op numbers, slower end-to-end).
+    profile: bool = False
+
     # --- radix partitioning (Pallas / distributed paths) ---
     # Level-0 digits route rows across chips (all_to_all exchange);
     # level-1 digits split per-chip work into VMEM-sized tiles.

@@ -37,6 +37,7 @@ from ..ops.chain import (eq_filter_matrix, eq_filter_rows, expand_attach_fresh,
 from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials
+from ..utils.profiling import OpProfiler, arr_bytes
 from ..workload import Query
 from .device_catalog import DeviceCatalog
 
@@ -64,6 +65,7 @@ class BatchExecutor:
                  config: EngineConfig = DEFAULT):
         self.catalog = DeviceCatalog(relations, config)
         self.config = config
+        self.profiler = OpProfiler(config.profile)
 
     # ---- phases ----
 
@@ -76,10 +78,12 @@ class BatchExecutor:
             st.live_cnt.append(np.int32(n))
         for f in q.filters:
             col = cat.col(q.slots[f.slot], f.col)
-            rows, cnt = filter_live(st.live_rows[f.slot],
-                                    st.live_cnt[f.slot], col,
-                                    narrow_filter_value(f.op, f.value),
-                                    OP_CODE[f.op])
+            rows, cnt = self.profiler.record(
+                "filter",
+                filter_live(st.live_rows[f.slot], st.live_cnt[f.slot], col,
+                            narrow_filter_value(f.op, f.value),
+                            OP_CODE[f.op]),
+                arr_bytes(st.live_rows[f.slot], col) * 2)
             st.live_rows[f.slot], st.live_cnt[f.slot] = rows, cnt
             st.flags.append(cnt == 0)   # device bool; NULL if ever true
         return st
@@ -98,30 +102,40 @@ class BatchExecutor:
         if s1 == s2:
             # same-slot predicate: row filter, never NULL (Query.cpp:168-170)
             if s1 not in st.slot_row:
-                rows, cnt = eq_filter_rows(colA, colB, st.live_rows[s1],
-                                           st.live_cnt[s1])
+                rows, cnt = self.profiler.record(
+                    "eq_filter",
+                    eq_filter_rows(colA, colB, st.live_rows[s1],
+                                   st.live_cnt[s1]),
+                    arr_bytes(st.live_rows[s1]) * 3)
                 st.live_rows[s1], st.live_cnt[s1] = rows, cnt
             else:
-                mat, cnt, _ = eq_filter_matrix(
-                    colA, colB, st.mat, st.slot_row[s1], st.slot_row[s2],
-                    st.icount)
+                mat, cnt, _ = self.profiler.record(
+                    "eq_filter",
+                    eq_filter_matrix(colA, colB, st.mat, st.slot_row[s1],
+                                     st.slot_row[s2], st.icount),
+                    arr_bytes(st.mat) * 2)
                 st.mat, st.icount = mat, cnt
             return False
 
         j1, j2 = s1 in st.slot_row, s2 in st.slot_row
         if j1 and j2:
             # case 3: row filter; NULL iff pair set empty -> deferred flag
-            mat, cnt, nonempty = eq_filter_matrix(
-                colA, colB, st.mat, st.slot_row[s1], st.slot_row[s2],
-                st.icount)
+            mat, cnt, nonempty = self.profiler.record(
+                "eq_filter",
+                eq_filter_matrix(colA, colB, st.mat, st.slot_row[s1],
+                                 st.slot_row[s2], st.icount),
+                arr_bytes(st.mat) * 2)
             st.mat, st.icount = mat, cnt
             st.flags.append(~nonempty)
             return False
 
         if not j1 and not j2:
             # case 1: probe between live sets
-            st.probe = probe_rows(colA, st.live_rows[s1], st.live_cnt[s1],
-                                  colB, st.live_rows[s2], st.live_cnt[s2])
+            st.probe = self.profiler.record(
+                "probe",
+                probe_rows(colA, st.live_rows[s1], st.live_cnt[s1],
+                           colB, st.live_rows[s2], st.live_cnt[s2]),
+                arr_bytes(st.live_rows[s1], st.live_rows[s2]) * 4)
             st.fresh_slot = None
         else:
             # case 2: probe intermediate (full side) against fresh live set
@@ -129,10 +143,13 @@ class BatchExecutor:
                 full, fresh, col_full, col_fresh = s1, s2, colA, colB
             else:
                 full, fresh, col_full, col_fresh = s2, s1, colB, colA
-            st.probe = probe_matrix(col_full, st.mat,
-                                    np.int32(st.slot_row[full]), st.icount,
-                                    col_fresh, st.live_rows[fresh],
-                                    st.live_cnt[fresh])
+            st.probe = self.profiler.record(
+                "probe",
+                probe_matrix(col_full, st.mat,
+                             np.int32(st.slot_row[full]), st.icount,
+                             col_fresh, st.live_rows[fresh],
+                             st.live_cnt[fresh]),
+                arr_bytes(st.mat[0], st.live_rows[fresh]) * 4)
             st.fresh_slot = fresh
         return True
 
@@ -146,14 +163,20 @@ class BatchExecutor:
         out_size = self.catalog.bucket(total)
         if st.fresh_slot is None:
             # case 1 discards any other slot's data (quirk SURVEY.md §8.5)
-            st.mat = expand_fresh_pair(order, lo, off, cum,
-                                       st.live_rows[j.slot1],
-                                       st.live_rows[j.slot2], out_size)
+            st.mat = self.profiler.record(
+                "expand",
+                expand_fresh_pair(order, lo, off, cum,
+                                  st.live_rows[j.slot1],
+                                  st.live_rows[j.slot2], out_size),
+                arr_bytes(order, lo) + 8 * out_size)
             st.slot_row = {j.slot1: 0, j.slot2: 1}
         else:
-            st.mat = expand_attach_fresh(order, lo, off, cum, st.mat,
-                                         st.live_rows[st.fresh_slot],
-                                         out_size)
+            st.mat = self.profiler.record(
+                "expand",
+                expand_attach_fresh(order, lo, off, cum, st.mat,
+                                    st.live_rows[st.fresh_slot], out_size),
+                arr_bytes(order, lo, st.mat) +
+                4 * out_size * (st.mat.shape[0] + 1))
             st.slot_row[st.fresh_slot] = st.mat.shape[0] - 1
         st.icount = np.int32(total)
         st.probe = None
@@ -166,9 +189,11 @@ class BatchExecutor:
                 st.sums.append(0)
             else:
                 col = cat.col(st.q.slots[p.slot], p.col)
-                st.sums.append(gather_partials_matrix(col, st.mat,
-                                                      np.int32(row),
-                                                      st.icount))
+                st.sums.append(self.profiler.record(
+                    "aggregate",
+                    gather_partials_matrix(col, st.mat, np.int32(row),
+                                           st.icount),
+                    arr_bytes(st.mat[0]) * 2))
 
     # ---- driver ----
 

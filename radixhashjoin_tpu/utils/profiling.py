@@ -1,0 +1,98 @@
+"""Per-operator profiling and roofline accounting.
+
+The reference has no runtime observability at all (SURVEY.md §5: two
+commented-out clock_t lines; its "profiler" is GCC PGO). The TPU engine
+provides:
+
+* OpProfiler — per-operator call counts, wall time (synchronized), bytes
+  touched, and % of speed-of-light HBM bandwidth (the engine is gather/
+  sort-bound, so bandwidth is the roofline that matters; MXU FLOPs are
+  negligible for joins).
+* jax.profiler passthrough — `with trace(dir):` for full XLA traces.
+
+Enable with EngineConfig.profile=True; the engine then synchronizes after
+every operator (accurate timing, slower wall clock) and
+`engine.profiler.report()` renders the table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+
+# TPU v5e (lite): ~819 GB/s HBM bandwidth per chip.
+HBM_BYTES_PER_S = 819e9
+
+
+@dataclasses.dataclass
+class OpStats:
+    calls: int = 0
+    seconds: float = 0.0
+    bytes: int = 0
+
+    @property
+    def gb_per_s(self) -> float:
+        return self.bytes / self.seconds / 1e9 if self.seconds > 0 else 0.0
+
+    @property
+    def roofline_frac(self) -> float:
+        return self.bytes / self.seconds / HBM_BYTES_PER_S \
+            if self.seconds > 0 else 0.0
+
+
+class OpProfiler:
+    def __init__(self, enabled: bool = False):
+        self.enabled = enabled
+        self.ops: Dict[str, OpStats] = defaultdict(OpStats)
+
+    def record(self, name: str, result, nbytes: int = 0):
+        """Time `result` to completion and account it to `name`.
+
+        nbytes: caller's estimate of HBM bytes the op touches (inputs +
+        outputs); used for the roofline column.
+        """
+        if not self.enabled:
+            return result
+        t0 = time.perf_counter()
+        jax.block_until_ready(result)
+        dt = time.perf_counter() - t0
+        s = self.ops[name]
+        s.calls += 1
+        s.seconds += dt
+        s.bytes += nbytes
+        return result
+
+    def report(self) -> str:
+        if not self.ops:
+            return "(no ops recorded)"
+        lines = [f"{'operator':<24}{'calls':>7}{'total s':>10}"
+                 f"{'GB/s':>9}{'% roof':>8}"]
+        for name, s in sorted(self.ops.items(), key=lambda kv: -kv[1].seconds):
+            lines.append(f"{name:<24}{s.calls:>7}{s.seconds:>10.4f}"
+                         f"{s.gb_per_s:>9.1f}{100*s.roofline_frac:>7.1f}%")
+        total = sum(s.seconds for s in self.ops.values())
+        lines.append(f"{'TOTAL':<24}{'':>7}{total:>10.4f}")
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        self.ops.clear()
+
+
+def trace(log_dir: str):
+    """Full XLA trace context (TensorBoard format)."""
+    return jax.profiler.trace(log_dir)
+
+
+def arr_bytes(*arrays) -> int:
+    """Total byte size of jax arrays (for roofline estimates)."""
+    n = 0
+    for a in arrays:
+        if hasattr(a, "nbytes"):
+            n += a.nbytes
+        elif hasattr(a, "size"):
+            n += a.size * 4
+    return n
