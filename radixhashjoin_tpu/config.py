@@ -65,9 +65,13 @@ class EngineConfig:
     enable_join_reordering: bool = False
 
     # --- execution backend ---
-    # "xla"     : sort/searchsorted expand-join (skew-proof default)
-    # "pallas"  : Pallas radix kernels for histogram/partition/probe
-    join_backend: str = "xla"
+    # "auto"  : dense direct-address join when the catalog's value domain
+    #           fits max_dense_domain, else sort+searchsorted
+    # "dense" / "sort" : force one backend
+    join_backend: str = "auto"
+    # Largest value domain for dense direct-address tables (int32 entries:
+    # 2**24 -> 64 MB table on device).
+    max_dense_domain: int = 1 << 24
     interpret_pallas: bool = False  # force interpreter mode (CPU testing)
 
     # --- parallelism ---

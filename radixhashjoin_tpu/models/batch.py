@@ -32,8 +32,8 @@ import numpy as np
 
 from ..config import EngineConfig, DEFAULT
 from ..ops.aggregate import gather_partials_matrix
-from ..ops.chain import (eq_filter_matrix, eq_filter_rows, expand_attach_fresh,
-                         expand_fresh_pair, probe_matrix, probe_rows)
+from ..ops.backend import JoinBackend
+from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials
@@ -66,6 +66,11 @@ class BatchExecutor:
         self.catalog = DeviceCatalog(relations, config)
         self.config = config
         self.profiler = OpProfiler(config.profile)
+        kind = config.join_backend
+        if kind == "auto":
+            kind = ("dense" if self.catalog.domain <= config.max_dense_domain
+                    else "sort")
+        self.join = JoinBackend(kind, self.catalog.domain)
 
     # ---- phases ----
 
@@ -109,7 +114,7 @@ class BatchExecutor:
                     arr_bytes(st.live_rows[s1]) * 3)
                 st.live_rows[s1], st.live_cnt[s1] = rows, cnt
             else:
-                mat, cnt, _ = self.profiler.record(
+                mat, cnt = self.profiler.record(
                     "eq_filter",
                     eq_filter_matrix(colA, colB, st.mat, st.slot_row[s1],
                                      st.slot_row[s2], st.icount),
@@ -120,7 +125,10 @@ class BatchExecutor:
         j1, j2 = s1 in st.slot_row, s2 in st.slot_row
         if j1 and j2:
             # case 3: row filter; NULL iff pair set empty -> deferred flag
-            mat, cnt, nonempty = self.profiler.record(
+            nonempty = self.join.any_common_matrix(
+                colA, colB, st.mat, st.slot_row[s1], st.slot_row[s2],
+                st.icount)
+            mat, cnt = self.profiler.record(
                 "eq_filter",
                 eq_filter_matrix(colA, colB, st.mat, st.slot_row[s1],
                                  st.slot_row[s2], st.icount),
@@ -133,8 +141,9 @@ class BatchExecutor:
             # case 1: probe between live sets
             st.probe = self.profiler.record(
                 "probe",
-                probe_rows(colA, st.live_rows[s1], st.live_cnt[s1],
-                           colB, st.live_rows[s2], st.live_cnt[s2]),
+                self.join.probe_rows(colA, st.live_rows[s1],
+                                     st.live_cnt[s1], colB,
+                                     st.live_rows[s2], st.live_cnt[s2]),
                 arr_bytes(st.live_rows[s1], st.live_rows[s2]) * 4)
             st.fresh_slot = None
         else:
@@ -145,10 +154,11 @@ class BatchExecutor:
                 full, fresh, col_full, col_fresh = s2, s1, colB, colA
             st.probe = self.profiler.record(
                 "probe",
-                probe_matrix(col_full, st.mat,
-                             np.int32(st.slot_row[full]), st.icount,
-                             col_fresh, st.live_rows[fresh],
-                             st.live_cnt[fresh]),
+                self.join.probe_matrix(col_full, st.mat,
+                                       np.int32(st.slot_row[full]),
+                                       st.icount, col_fresh,
+                                       st.live_rows[fresh],
+                                       st.live_cnt[fresh]),
                 arr_bytes(st.mat[0], st.live_rows[fresh]) * 4)
             st.fresh_slot = fresh
         return True
@@ -165,16 +175,17 @@ class BatchExecutor:
             # case 1 discards any other slot's data (quirk SURVEY.md §8.5)
             st.mat = self.profiler.record(
                 "expand",
-                expand_fresh_pair(order, lo, off, cum,
-                                  st.live_rows[j.slot1],
-                                  st.live_rows[j.slot2], out_size),
+                self.join.expand_fresh_pair(order, lo, off, cum,
+                                            st.live_rows[j.slot1],
+                                            st.live_rows[j.slot2], out_size),
                 arr_bytes(order, lo) + 8 * out_size)
             st.slot_row = {j.slot1: 0, j.slot2: 1}
         else:
             st.mat = self.profiler.record(
                 "expand",
-                expand_attach_fresh(order, lo, off, cum, st.mat,
-                                    st.live_rows[st.fresh_slot], out_size),
+                self.join.expand_attach_fresh(
+                    order, lo, off, cum, st.mat,
+                    st.live_rows[st.fresh_slot], out_size),
                 arr_bytes(order, lo, st.mat) +
                 4 * out_size * (st.mat.shape[0] + 1))
             st.slot_row[st.fresh_slot] = st.mat.shape[0] - 1

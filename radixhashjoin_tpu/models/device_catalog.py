@@ -51,3 +51,18 @@ class DeviceCatalog:
             if any(s.max > NARROW_MAX for s in rel.stats):
                 return False
         return True
+
+    @property
+    def domain(self) -> int:
+        """Power-of-two bound > every column value across the catalog, for
+        the dense join backend's direct-address tables."""
+        if not hasattr(self, "_domain"):
+            gmax = 0
+            for rel in self.relations:
+                for s in rel.stats:
+                    gmax = max(gmax, s.max)
+            d = 1024
+            while d <= gmax + 1:
+                d *= 2
+            self._domain = d
+        return self._domain

@@ -15,6 +15,8 @@ join pipeline, with XLA collectives as the stage boundaries:
 """
 
 from .mesh import make_mesh
-from .dist_join import dist_join_count_sum, radix_exchange
+from .dist_join import (dist_join_count_sum, dist_join_skewaware,
+                        radix_exchange)
 
-__all__ = ["make_mesh", "dist_join_count_sum", "radix_exchange"]
+__all__ = ["make_mesh", "dist_join_count_sum", "dist_join_skewaware",
+           "radix_exchange"]

@@ -44,7 +44,9 @@ def _bin_by_digit(vals: jax.Array, count: jax.Array, n_dest: int,
     """
     n = vals.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    live = idx < count
+    # drop dead lanes AND rows already sentineled by the caller (e.g. the
+    # skew path parks heavy rows by sentineling them out of the exchange)
+    live = (idx < count) & (vals != sentinel)
     digit = jnp.where(live, vals % n_dest, np.int32(n_dest))
     bins = jnp.full((n_dest, capacity), sentinel, dtype=jnp.int32)
     counts = jnp.zeros((n_dest,), dtype=jnp.int32)
@@ -110,6 +112,74 @@ def _local_join_count_sum(lflat: jax.Array, rflat: jax.Array):
     lo_limb = jnp.sum(counts * (v & 0xFFFF), dtype=jnp.int32)
     hi_limb = jnp.sum(counts * (v >> 16), dtype=jnp.int32)
     return pairs, lo_limb, hi_limb
+
+
+def _digit_hist(vals, count, n_dest: int, axis: str):
+    """Global per-digit histogram: local bincount + psum over the mesh —
+    the cross-chip analog of the reference's per-chunk histograms + serial
+    merge (structs.cpp:111-121,168-173)."""
+    n = vals.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    digit = jnp.where(idx < count, vals % n_dest, np.int32(n_dest))
+    local = jnp.zeros(n_dest, jnp.int32).at[digit].add(1, mode="drop")
+    return jax.lax.psum(local, axis)
+
+
+def dist_join_skewaware(mesh: Mesh, lvals, lcount, rvals, rcount,
+                        capacity: int, heavy_fraction: float = 0.25,
+                        axis: str = "x"):
+    """Distributed equi-join with heavy-hitter handling.
+
+    Digits whose global right-side share exceeds `heavy_fraction` are NOT
+    shuffled (they would overflow any per-destination capacity): their
+    right rows are all_gather-broadcast and joined against the left rows
+    that stayed home — each (l, r) pair is counted exactly once, on l's
+    home chip. Light digits take the normal all_to_all exchange. This is
+    the skew valve the reference lacks entirely (SURVEY.md §5: a
+    pathological key distribution lands in one bucket).
+
+    Returns (pairs, lo_limb, hi_limb, light_overflow).
+    """
+    n = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(), P(), P(), P()))
+    def step(lv, lc, rv, rc):
+        lcnt, rcnt = lc[0], rc[0]
+        nl = lv.shape[0]
+        idx_l = jax.lax.broadcasted_iota(jnp.int32, (nl,), 0)
+        idx_r = jax.lax.broadcasted_iota(jnp.int32, (rv.shape[0],), 0)
+
+        ghist_r = _digit_hist(rv, rcnt, n, axis)
+        total_r = jnp.maximum(jnp.sum(ghist_r), 1)
+        heavy = ghist_r > (heavy_fraction * total_r).astype(jnp.int32)
+
+        live_l = idx_l < lcnt
+        live_r = idx_r < rcnt
+        heavy_l = heavy[jnp.where(live_l, lv, 0) % n] & live_l
+        heavy_r = heavy[jnp.where(live_r, rv, 0) % n] & live_r
+
+        # light path: sentinel out the heavy rows, then the normal exchange
+        lv_light = jnp.where(live_l & ~heavy_l, lv, LEFT_SENTINEL)
+        rv_light = jnp.where(live_r & ~heavy_r, rv, RIGHT_SENTINEL)
+        lflat, rflat, ovf = radix_exchange(lv_light, lcnt, rv_light, rcnt,
+                                           n, capacity, axis)
+        pairs_l, lo_l, hi_l = _local_join_count_sum(lflat, rflat)
+
+        # heavy path: broadcast right heavy rows, join against home-chip
+        # left heavy rows
+        rv_heavy = jnp.where(heavy_r, rv, RIGHT_SENTINEL)
+        r_all = jax.lax.all_gather(rv_heavy, axis).reshape(-1)
+        lv_heavy = jnp.where(heavy_l, lv, LEFT_SENTINEL)
+        pairs_h, lo_h, hi_h = _local_join_count_sum(lv_heavy, r_all)
+
+        return (jax.lax.psum(pairs_l + pairs_h, axis),
+                jax.lax.psum(lo_l + lo_h, axis),
+                jax.lax.psum(hi_l + hi_h, axis),
+                jax.lax.pmax(ovf, axis))
+
+    return step(lvals, lcount, rvals, rcount)
 
 
 def dist_join_count_sum(mesh: Mesh, lvals, lcount, rvals, rcount,

@@ -27,7 +27,16 @@ def test_jax_per_query_golden_batch1(small_catalog, small_batches,
 
 
 def test_jax_batched_golden_batch1(jax_engine, small_batches, golden_lines):
+    # auto backend => dense (values < 2**18)
+    assert jax_engine.batch_executor.join.kind == "dense"
     got = jax_engine.run_batch(small_batches[0])
+    assert got == golden_lines[:len(small_batches[0])]
+
+
+def test_jax_sort_backend_golden_batch1(small_catalog, small_batches,
+                                        golden_lines):
+    eng = Engine(small_catalog, EngineConfig(join_backend="sort"))
+    got = eng.run_batch(small_batches[0])
     assert got == golden_lines[:len(small_batches[0])]
 
 

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from radixhashjoin_tpu.parallel import make_mesh, dist_join_count_sum
+from radixhashjoin_tpu.parallel import (dist_join_count_sum,
+                                        dist_join_skewaware, make_mesh)
 
 
 def _oracle(lv, rv):
@@ -69,3 +70,35 @@ def test_dist_join_overflow_detected(mesh):
     *_, ovf = dist_join_count_sum(
         mesh, jnp.asarray(lv), counts, jnp.asarray(rv), counts, capacity=16)
     assert int(ovf) > 0  # skew signal: caller must take the skew path
+
+
+def test_skewaware_handles_dominant_key(mesh):
+    # one key owns most rows: the plain exchange would overflow capacity;
+    # the skew-aware join must stay exact with zero light-path overflow
+    rng = np.random.default_rng(7)
+    n = 8 * 256
+    lv = rng.integers(0, 50, n).astype(np.int32)
+    rv = rng.integers(0, 50, n).astype(np.int32)
+    rv[: n // 2] = 8   # dominant key -> digit 0 is heavy
+    counts = jnp.asarray(np.full(8, 256, dtype=np.int32))
+    pairs, lo, hi, ovf = dist_join_skewaware(
+        mesh, jnp.asarray(lv), counts, jnp.asarray(rv), counts,
+        capacity=256, heavy_fraction=0.25)
+    exp_pairs, exp_sum = _oracle(lv, rv)
+    assert int(ovf) == 0
+    assert int(pairs) == exp_pairs
+    assert int(lo) + (int(hi) << 16) == exp_sum
+
+
+def test_skewaware_uniform_matches_plain(mesh):
+    rng = np.random.default_rng(9)
+    n = 8 * 256
+    lv = rng.integers(0, 500, n).astype(np.int32)
+    rv = rng.integers(0, 500, n).astype(np.int32)
+    counts = jnp.asarray(np.full(8, 256, dtype=np.int32))
+    pairs, lo, hi, ovf = dist_join_skewaware(
+        mesh, jnp.asarray(lv), counts, jnp.asarray(rv), counts,
+        capacity=256)
+    exp_pairs, exp_sum = _oracle(lv, rv)
+    assert int(pairs) == exp_pairs and int(ovf) == 0
+    assert int(lo) + (int(hi) << 16) == exp_sum
