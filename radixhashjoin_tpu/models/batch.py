@@ -35,8 +35,12 @@ from ..ops.aggregate import gather_partials_matrix
 from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
+from ..ops.terminal import (combine_fresh_partials, terminal_probe_matrix,
+                            terminal_probe_rows,
+                            terminal_sum_existing_matrix,
+                            terminal_sum_existing_rows, terminal_sum_fresh)
 from ..storage import Relation
-from ..utils.limbs import combine_limb_partials
+from ..utils.limbs import combine_limb_partials, combine_weighted_partials
 from ..utils.profiling import OpProfiler, arr_bytes
 from ..workload import Query
 from .device_catalog import DeviceCatalog
@@ -44,7 +48,7 @@ from .device_catalog import DeviceCatalog
 
 class _QState:
     __slots__ = ("q", "live_rows", "live_cnt", "mat", "slot_row", "icount",
-                 "null", "flags", "probe", "fresh_slot", "sums")
+                 "null", "flags", "probe", "fresh_slot", "sums", "terminal")
 
     def __init__(self, q: Query):
         self.q = q
@@ -57,7 +61,8 @@ class _QState:
         self.flags: List[jax.Array] = []       # device bools, OR'd at the end
         self.probe = None
         self.fresh_slot = None
-        self.sums: List[object] = []           # 0 or limb-partials array
+        self.sums: List[object] = []           # 0 or (kind, partials array)
+        self.terminal: Optional[dict] = None   # factorized last-join context
 
 
 class BatchExecutor:
@@ -137,6 +142,50 @@ class BatchExecutor:
             st.flags.append(~nonempty)
             return False
 
+        # factorized terminal join (dense backend): the last join's output
+        # is only ever aggregated — probe counts suffice, nothing
+        # materializes, no readback; NULL defers to a device flag
+        if (k == len(q.joins) - 1 and self.join.kind == "dense"):
+            domain = self.catalog.domain
+            if not j1 and not j2:
+                counts, lvm, total = self.profiler.record(
+                    "terminal_probe",
+                    terminal_probe_rows(colA, st.live_rows[s1],
+                                        st.live_cnt[s1], colB,
+                                        st.live_rows[s2], st.live_cnt[s2],
+                                        domain),
+                    arr_bytes(st.live_rows[s1], st.live_rows[s2]) * 3)
+                # case-1 wipe semantics: only s1/s2 survive (SURVEY.md §8.5)
+                st.slot_row = {}
+                st.mat = None
+                st.terminal = dict(counts=counts, lvm=lvm,
+                                   existing=("rows", s1),
+                                   icount=st.live_cnt[s1],
+                                   fresh_slot=s2, fresh_col_join=colB,
+                                   fresh_rows=st.live_rows[s2],
+                                   fresh_cnt=st.live_cnt[s2])
+            else:
+                if j1:
+                    full, fresh, col_full, col_fresh = s1, s2, colA, colB
+                else:
+                    full, fresh, col_full, col_fresh = s2, s1, colB, colA
+                counts, lvm, total = self.profiler.record(
+                    "terminal_probe",
+                    terminal_probe_matrix(col_full, st.mat,
+                                          np.int32(st.slot_row[full]),
+                                          st.icount, col_fresh,
+                                          st.live_rows[fresh],
+                                          st.live_cnt[fresh], domain),
+                    arr_bytes(st.mat[0], st.live_rows[fresh]) * 3)
+                st.terminal = dict(counts=counts, lvm=lvm,
+                                   existing=("mat", None),
+                                   icount=st.icount,
+                                   fresh_slot=fresh, fresh_col_join=col_fresh,
+                                   fresh_rows=st.live_rows[fresh],
+                                   fresh_cnt=st.live_cnt[fresh])
+            st.flags.append(total == 0)
+            return False
+
         if not j1 and not j2:
             # case 1: probe between live sets
             st.probe = self.profiler.record(
@@ -194,17 +243,45 @@ class BatchExecutor:
 
     def _projections(self, st: _QState) -> None:
         cat = self.catalog
+        t = st.terminal
         for p in st.q.projections:
+            col = cat.col(st.q.slots[p.slot], p.col)
+            if t is not None:
+                kind, ex_slot = t["existing"]
+                if p.slot == t["fresh_slot"]:
+                    st.sums.append(("fresh", self.profiler.record(
+                        "aggregate",
+                        terminal_sum_fresh(col, t["fresh_col_join"],
+                                           t["fresh_rows"], t["fresh_cnt"],
+                                           t["lvm"], t["icount"],
+                                           self.catalog.domain),
+                        arr_bytes(t["lvm"]) * 4)))
+                elif kind == "rows" and p.slot == ex_slot:
+                    st.sums.append(("weighted", self.profiler.record(
+                        "aggregate",
+                        terminal_sum_existing_rows(
+                            col, st.live_rows[ex_slot], t["counts"],
+                            t["icount"]),
+                        arr_bytes(t["counts"]) * 3)))
+                elif kind == "mat" and p.slot in st.slot_row:
+                    st.sums.append(("weighted", self.profiler.record(
+                        "aggregate",
+                        terminal_sum_existing_matrix(
+                            col, st.mat, np.int32(st.slot_row[p.slot]),
+                            t["counts"], t["icount"]),
+                        arr_bytes(t["counts"]) * 3)))
+                else:
+                    st.sums.append(0)
+                continue
             row = st.slot_row.get(p.slot)
             if row is None:
                 st.sums.append(0)
             else:
-                col = cat.col(st.q.slots[p.slot], p.col)
-                st.sums.append(self.profiler.record(
+                st.sums.append(("limb", self.profiler.record(
                     "aggregate",
                     gather_partials_matrix(col, st.mat, np.int32(row),
                                            st.icount),
-                    arr_bytes(st.mat[0]) * 2))
+                    arr_bytes(st.mat[0]) * 2)))
 
     # ---- driver ----
 
@@ -233,11 +310,14 @@ class BatchExecutor:
         all_flags = [f for st in states if not st.null for f in st.flags]
         flags_np = (np.asarray(jnp.stack(all_flags)) if all_flags
                     else np.zeros(0, bool))
-        parts = [s.reshape(-1) for st in states if not st.null
+        parts = [s[1].reshape(-1) for st in states if not st.null
                  for s in st.sums if not isinstance(s, int)]
         parts_np = (np.asarray(jnp.concatenate(parts)) if parts
                     else np.zeros(0, np.int32))
 
+        combiners = {"limb": combine_limb_partials,
+                     "weighted": combine_weighted_partials,
+                     "fresh": combine_fresh_partials}
         results: List[Optional[List[int]]] = []
         fi = pi = 0
         for st in states:
@@ -251,9 +331,10 @@ class BatchExecutor:
                 if isinstance(s, int):
                     sums.append(s)
                 else:
-                    m = s.size
-                    sums.append(combine_limb_partials(
-                        parts_np[pi:pi + m].reshape(2, m // 2)))
+                    kind, arr = s
+                    m = arr.size
+                    sums.append(combiners[kind](
+                        parts_np[pi:pi + m].reshape(arr.shape)))
                     pi += m
             results.append(None if nulled else sums)
         return results

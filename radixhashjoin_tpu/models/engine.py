@@ -99,6 +99,9 @@ class Engine:
         return out
 
 
+_LAST_ENGINE: Optional[Engine] = None
+
+
 def main(stdin: TextIO = None, stdout: TextIO = None,
          config: EngineConfig = DEFAULT) -> None:
     """stdin-protocol driver, contract-identical to the reference binary:
@@ -107,10 +110,12 @@ def main(stdin: TextIO = None, stdout: TextIO = None,
     """
     from ..runtime import parse_work_native, native_available
 
+    global _LAST_ENGINE
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     paths = parse_init_stream(stdin)
     engine = Engine.from_paths(paths, config)
+    _LAST_ENGINE = engine
     if config.use_native_runtime and native_available():
         batches = parse_work_native(stdin.read())
     else:

@@ -46,3 +46,55 @@ def combine_limb_partials(partials: np.ndarray) -> int:
     lo = int(p[0].astype(np.int64).sum())
     hi = int(p[1].astype(np.int64).sum())
     return (lo + (hi << 16)) & _U64_MASK
+
+
+# ---- exact weighted sums: sum(vals[i] * counts[i]) with both < 2**31 ----
+#
+# 32x32 -> 64 product via 16-bit splits, all exact in uint32:
+#   p0 = a0*b0 (< 2**32), p1 = a0*b1 + a1*b0 (< 2**32), p2 = a1*b1 (< 2**30)
+#   a*b = p0 + p1*2**16 + p2*2**32
+# Each p is further split into 16-bit limbs for chunked int32 accumulation.
+
+WCHUNK = 1 << 10   # channel limb < 2**16 -> chunk partial < 2**26
+
+
+@jax.jit
+def weighted_partials(vals: jax.Array, counts: jax.Array,
+                      count: jax.Array) -> jax.Array:
+    """Device half of exact u64 sum(vals*counts) over the live prefix.
+    Returns (5, nchunks) int32 channels with host weights
+    [1, 2**16, 2**16, 2**32, 2**32]."""
+    n = vals.shape[0]
+    assert n % WCHUNK == 0, n
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    live = idx < count
+    a = jnp.where(live, vals, 0).astype(jnp.uint32)
+    b = jnp.where(live, counts, 0).astype(jnp.uint32)
+    a0, a1 = a & 0xFFFF, a >> 16
+    b0, b1 = b & 0xFFFF, b >> 16
+    p0 = a0 * b0                      # exact in uint32
+    p1 = a0 * b1 + a1 * b0            # each term < 2**31, sum < 2**32
+    p2 = (a1 * b1).astype(jnp.int32)  # < 2**30
+
+    def chunks(x):
+        return x.reshape(n // WCHUNK, WCHUNK).sum(axis=1, dtype=jnp.int32)
+
+    return jnp.stack([
+        chunks((p0 & 0xFFFF).astype(jnp.int32)),       # weight 1
+        chunks((p0 >> 16).astype(jnp.int32)),          # weight 2**16
+        chunks((p1 & 0xFFFF).astype(jnp.int32)),       # weight 2**16
+        chunks((p1 >> 16).astype(jnp.int32)),          # weight 2**32
+        chunks(p2),                                    # weight 2**32
+    ])
+
+
+_W_WEIGHTS = (1, 1 << 16, 1 << 16, 1 << 32, 1 << 32)
+
+
+def combine_weighted_partials(partials: np.ndarray) -> int:
+    """Host half: exact u64 (wrapping) total of weighted_partials output."""
+    p = np.asarray(partials)
+    total = 0
+    for ch, w in zip(p, _W_WEIGHTS):
+        total += int(ch.astype(np.int64).sum()) * w
+    return total & _U64_MASK

@@ -1,0 +1,94 @@
+"""Large-scale synthetic join benchmarks (BASELINE.json configs 4-5).
+
+Generates uniform and Zipf-skewed key columns ON DEVICE (no host transfer)
+and measures:
+  * single-chip dense-backend probe+expand throughput (join-input tuples/s)
+  * distributed skew-aware join throughput over the available mesh
+    (on a 1-chip system this still exercises the full shard_map program)
+
+Usage: python scripts/bench_scale.py [--rows 26] [--devices N]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def zipf_keys(key, n, n_keys, s=1.1):
+    """Approximate Zipf(s) over [0, n_keys) via inverse-CDF on device."""
+    import jax, jax.numpy as jnp
+    u = jax.random.uniform(key, (n,), minval=1e-9)
+    # inverse CDF of a power law: rank ~ u^(-1/(s-1)) truncated
+    ranks = jnp.clip((u ** (-1.0 / (s - 1.0))).astype(jnp.int32), 0,
+                     n_keys - 1)
+    return ranks
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=26,
+                   help="log2 rows per side (default 2^26 = 67M)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="mesh size (0 = all available)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.join_dense import dense_probe
+    from radixhashjoin_tpu.parallel import make_mesh, dist_join_skewaware
+
+    n = 1 << args.rows
+    n_keys = 1 << 20
+    domain = 1 << 21
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+
+    # --- config: uniform single-chip probe (counts; the shape-deciding
+    # pass of every join) ---
+    lv = jax.random.randint(k1, (n,), 0, n_keys, dtype=jnp.int32)
+    rv = jax.random.randint(k2, (n,), 0, n_keys, dtype=jnp.int32)
+    cnt = jnp.int32(n)
+    r = dense_probe(lv, cnt, rv, cnt, domain)   # compile + warm
+    total = int(r[4])
+    t0 = time.time()
+    iters = 5
+    for _ in range(iters):
+        r = dense_probe(lv, cnt, rv, cnt, domain)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "dense_probe_uniform_tuples_per_s",
+        "rows_per_side": n, "output_pairs": total,
+        "value": round(2 * n / dt), "unit": "tuples/s",
+        "seconds": round(dt, 4)}))
+
+    # --- config: Zipf-skewed distributed skew-aware join ---
+    ndev = args.devices or len(jax.devices())
+    mesh = make_mesh(ndev)
+    per = n // ndev
+    lz = zipf_keys(k3, n, n_keys)
+    counts = jnp.full(ndev, per, dtype=jnp.int32)
+    capacity = max(2 * per // ndev, 1024)
+    out = dist_join_skewaware(mesh, lz, counts, rv, counts,
+                              capacity=capacity, heavy_fraction=0.2)
+    pairs = int(out[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = dist_join_skewaware(mesh, lz, counts, rv, counts,
+                                  capacity=capacity, heavy_fraction=0.2)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "skewaware_dist_join_tuples_per_s",
+        "devices": ndev, "rows_per_side": n, "output_pairs": pairs,
+        "overflow": int(out[3]),
+        "value": round(2 * n / dt), "unit": "tuples/s",
+        "seconds": round(dt, 4)}))
+
+
+if __name__ == "__main__":
+    main()
