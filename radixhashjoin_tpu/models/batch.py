@@ -112,12 +112,17 @@ class BatchExecutor:
         if s1 == s2:
             # same-slot predicate: row filter, never NULL (Query.cpp:168-170)
             if s1 not in st.slot_row:
+                # fresh slot: creates a singleton intermediate and, like
+                # case 1, wipes any other component (oracle.py, §8.2 UB
+                # extension)
                 rows, cnt = self.profiler.record(
                     "eq_filter",
                     eq_filter_rows(colA, colB, st.live_rows[s1],
                                    st.live_cnt[s1]),
                     arr_bytes(st.live_rows[s1]) * 3)
-                st.live_rows[s1], st.live_cnt[s1] = rows, cnt
+                st.mat = rows[None]
+                st.slot_row = {s1: 0}
+                st.icount = cnt
             else:
                 mat, cnt = self.profiler.record(
                     "eq_filter",

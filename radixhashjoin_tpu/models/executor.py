@@ -139,11 +139,14 @@ class JaxExecutor:
                 # same-slot predicate (parse_table, intermediate.cpp:11-44);
                 # never triggers NULL (Query.cpp:168-170)
                 if s1 not in inter:
+                    # fresh slot: singleton intermediate; wipes any other
+                    # component like case 1 (oracle.py, §8.2 UB extension)
                     lv = live[s1]
                     m = _eq_mask(_gather(colA, lv.rows), _gather(colB, lv.rows),
                                  jnp.int32(lv.count))
                     pos, cnt = compact_mask_positions(m)
-                    live[s1] = _Live(compact(lv.rows, pos), int(cnt))
+                    inter = {s1: compact(lv.rows, pos)}
+                    icount = int(cnt)
                 else:
                     m = _eq_mask(_gather(colA, inter[s1]),
                                  _gather(colB, inter[s2]), jnp.int32(icount))

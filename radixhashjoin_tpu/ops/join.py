@@ -49,8 +49,11 @@ def probe_count(lvals: jax.Array, lcount: jax.Array,
     rv = jnp.where(ri < rcount, rvals, RIGHT_SENTINEL)
     order = jnp.argsort(rv).astype(jnp.int32)
     rs = rv[order]
-    lo = jnp.searchsorted(rs, lv, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(rs, lv, side="right").astype(jnp.int32)
+    # method='sort': the default 'scan' binary search is gather-bound and
+    # ~7x slower on TPU at multi-million-element shapes
+    lo = jnp.searchsorted(rs, lv, side="left", method="sort").astype(jnp.int32)
+    hi = jnp.searchsorted(rs, lv, side="right",
+                          method="sort").astype(jnp.int32)
     counts = hi - lo
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -67,14 +70,21 @@ def expand_pairs(order: jax.Array, lo: jax.Array, offsets: jax.Array,
     live count from probe_count. Replaces the reference's paged result lists
     (Result.cpp:21-35) with exact-size preallocated arrays.
     """
+    # Ownership (which left element produces output k) without a binary
+    # search: each left element with matches scatters its index at its
+    # first output position; cummax fills the runs — two O(n) primitives
+    # instead of an out_size-wide searchsorted.
+    counts = cum - offsets
     L = lo.shape[0]
+    idx_l = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    dest = jnp.where(counts > 0, offsets, np.int32(out_size))
+    seed = jnp.full(out_size, -1, jnp.int32).at[dest].max(idx_l, mode="drop")
+    left_of = jnp.maximum(jax.lax.cummax(seed), 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (out_size,), 0)
-    left_of = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
-    lc = jnp.minimum(left_of, np.int32(L - 1))
-    within = k - offsets[lc]
-    rpos = lo[lc] + within
-    rr = order[rpos]
-    return lc, rr
+    within = k - offsets[left_of]
+    rpos = lo[left_of] + within
+    rr = order[jnp.clip(rpos, 0, order.shape[0] - 1)]
+    return left_of, rr
 
 
 @jax.jit
@@ -90,6 +100,6 @@ def any_common(avals: jax.Array, bvals: jax.Array, count: jax.Array):
     av = jnp.where(idx < count, avals, np.int32(-1))
     bv = jnp.where(idx < count, bvals, RIGHT_SENTINEL)
     bs = jnp.sort(bv)
-    lo = jnp.searchsorted(bs, av, side="left")
-    hi = jnp.searchsorted(bs, av, side="right")
+    lo = jnp.searchsorted(bs, av, side="left", method="sort")
+    hi = jnp.searchsorted(bs, av, side="right", method="sort")
     return jnp.any((hi > lo) & (idx < count))

@@ -108,9 +108,15 @@ class OracleExecutor:
             if s1 == s2:
                 # same-slot predicate (parse_table, intermediate.cpp:11-44)
                 if s1 not in inter:
+                    # fresh slot: a fresh-fresh "join" of the slot with
+                    # itself. Like case 1 it WIPES any other intermediate
+                    # (the reference's non-fresh parse_table branch is UB,
+                    # SURVEY.md §8.2; this is the self-consistent extension
+                    # of the case-1 wipe — intermediates stay one aligned
+                    # component). Unreachable on the golden workload.
                     rows = live[s1]
                     keep = colA[rows] == colB[rows]
-                    inter[s1] = rows[keep]
+                    inter = {s1: rows[keep]}
                 else:
                     keep = colA[inter[s1]] == colB[inter[s2]]
                     inter = {s: v[keep] for s, v in inter.items()}

@@ -101,10 +101,14 @@ def radix_exchange(lvals, lcount, rvals, rcount, n_dest: int, capacity: int,
 
 def _local_join_count_sum(lflat: jax.Array, rflat: jax.Array):
     """Chip-local join over sentineled flat values: (pair count, sum of
-    matched left values as two int32 limbs). Sort+searchsorted level 1."""
+    matched left values as two int32 limbs). Sort+searchsorted level 1.
+    method='sort' — the default 'scan' does a binary search whose per-step
+    gathers are ~7x slower on TPU at multi-million-row shapes."""
     rs = jnp.sort(rflat)
-    lo = jnp.searchsorted(rs, lflat, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(rs, lflat, side="right").astype(jnp.int32)
+    lo = jnp.searchsorted(rs, lflat, side="left",
+                          method="sort").astype(jnp.int32)
+    hi = jnp.searchsorted(rs, lflat, side="right",
+                          method="sort").astype(jnp.int32)
     counts = hi - lo  # sentinel -1 on left never matches (data >= 0)
     pairs = jnp.sum(counts)
     # checksum: sum over pairs of the left value = sum(counts * lval), limbed

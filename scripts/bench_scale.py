@@ -71,6 +71,10 @@ def main() -> None:
         "seconds": round(dt, 4)}))
 
     # --- config: Zipf-skewed distributed skew-aware join ---
+    # (quarter size: the heavy-key broadcast path joins against an
+    # all_gather of every chip's heavy rows)
+    n = n // 4
+    rv = rv[:n]
     ndev = args.devices or len(jax.devices())
     mesh = make_mesh(ndev)
     per = n // ndev
