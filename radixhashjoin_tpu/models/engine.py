@@ -114,11 +114,22 @@ def main(stdin: TextIO = None, stdout: TextIO = None,
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     paths = parse_init_stream(stdin)
-    engine = Engine.from_paths(paths, config)
+    try:
+        engine = Engine.from_paths(paths, config)
+    except (OSError, AssertionError) as e:
+        # the reference asserts/aborts here (structs.cpp:19-30); be civil
+        print(f"radixhashjoin_tpu: cannot load relations: {e}",
+              file=sys.stderr)
+        raise SystemExit(1)
     _LAST_ENGINE = engine
-    if config.use_native_runtime and native_available():
-        batches = parse_work_native(stdin.read())
-    else:
-        batches = parse_work_stream(stdin)
+    try:
+        if config.use_native_runtime and native_available():
+            batches = parse_work_native(stdin.read())
+        else:
+            batches = parse_work_stream(stdin)
+    except (ValueError, IndexError) as e:
+        print(f"radixhashjoin_tpu: malformed work stream: {e}",
+              file=sys.stderr)
+        raise SystemExit(1)
     for line in engine.run_workload(batches):
         stdout.write(line + "\n")
