@@ -34,7 +34,8 @@ from ..config import EngineConfig, DEFAULT
 from ..ops.aggregate import gather_partials_matrix
 from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
-from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
+from ..ops.filter import (OP_CODE, filter_full, filter_live,
+                          narrow_filter_value)
 from ..ops.terminal import (combine_fresh_partials, terminal_probe_matrix,
                             terminal_probe_rows,
                             terminal_sum_existing_matrix,
@@ -86,14 +87,26 @@ class BatchExecutor:
             n = cat.relations[q.slots[s]].num_tuples
             st.live_rows.append(cat.iota(cat.bucket(n)))
             st.live_cnt.append(np.int32(n))
+        pristine = set(range(len(q.slots)))
         for f in q.filters:
             col = cat.col(q.slots[f.slot], f.col)
-            rows, cnt = self.profiler.record(
-                "filter",
-                filter_live(st.live_rows[f.slot], st.live_cnt[f.slot], col,
-                            narrow_filter_value(f.op, f.value),
-                            OP_CODE[f.op]),
-                arr_bytes(st.live_rows[f.slot], col) * 2)
+            if f.slot in pristine:
+                # first filter on the slot: scan the column directly
+                n = cat.relations[q.slots[f.slot]].num_tuples
+                rows, cnt = self.profiler.record(
+                    "filter",
+                    filter_full(col, np.int32(n),
+                                narrow_filter_value(f.op, f.value),
+                                OP_CODE[f.op], cat.bucket(n)),
+                    arr_bytes(col) * 2)
+                pristine.discard(f.slot)
+            else:
+                rows, cnt = self.profiler.record(
+                    "filter",
+                    filter_live(st.live_rows[f.slot], st.live_cnt[f.slot],
+                                col, narrow_filter_value(f.op, f.value),
+                                OP_CODE[f.op]),
+                    arr_bytes(st.live_rows[f.slot], col) * 2)
             st.live_rows[f.slot], st.live_cnt[f.slot] = rows, cnt
             st.flags.append(cnt == 0)   # device bool; NULL if ever true
         return st
@@ -311,14 +324,17 @@ class BatchExecutor:
             if not st.null:
                 self._projections(st)
 
-        # final sweep: one readback for all flags, one for all partials
+        # final sweep: ONE readback for all flags + all partials
         all_flags = [f for st in states if not st.null for f in st.flags]
-        flags_np = (np.asarray(jnp.stack(all_flags)) if all_flags
-                    else np.zeros(0, bool))
         parts = [s[1].reshape(-1) for st in states if not st.null
                  for s in st.sums if not isinstance(s, int)]
-        parts_np = (np.asarray(jnp.concatenate(parts)) if parts
+        pieces = ([jnp.stack(all_flags).astype(jnp.int32)] if all_flags
+                  else []) + parts
+        combined = (np.asarray(jnp.concatenate(pieces)) if pieces
                     else np.zeros(0, np.int32))
+        nf = len(all_flags)
+        flags_np = combined[:nf] != 0
+        parts_np = combined[nf:]
 
         combiners = {"limb": combine_limb_partials,
                      "weighted": combine_weighted_partials,

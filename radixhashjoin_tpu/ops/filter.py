@@ -58,3 +58,26 @@ def filter_live(rowids: jax.Array, count: jax.Array, col: jax.Array,
     m = m & (idx < count)
     pos, new_count = compact_mask_positions(m)
     return compact(rowids, pos), new_count
+
+
+@partial(jax.jit, static_argnames=("op", "pad"))
+def filter_full(col: jax.Array, count, value, op: int, pad: int):
+    """First filter on a pristine slot: scan the column directly (no rowid
+    gather — the live set is still the identity). Returns (rowids padded
+    to `pad`, new_count)."""
+    n = col.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    if op == OP_EQ:
+        m = col == value
+    elif op == OP_LT:
+        m = col < value
+    else:
+        m = col > value
+    m = m & (idx < count)
+    pos, new_count = compact_mask_positions(m)
+    rows = compact(idx, pos)
+    if pad > n:
+        rows = jnp.pad(rows, (0, pad - n))
+    else:
+        rows = rows[:pad]
+    return rows, new_count

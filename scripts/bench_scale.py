@@ -71,9 +71,10 @@ def main() -> None:
         "seconds": round(dt, 4)}))
 
     # --- config: Zipf-skewed distributed skew-aware join ---
-    # (smaller: the remote-compile of the full SPMD program is expensive;
-    # steady-state throughput is what's measured, compile is cached)
-    n = min(n, 1 << 22)
+    # (smaller: this environment's remote AOT compiler takes minutes on the
+    # full SPMD program and scales badly with buffer sizes; steady-state
+    # throughput is what's measured, the compile is cached)
+    n = min(n, 1 << 19)
     rv = rv[:n]
     ndev = args.devices or len(jax.devices())
     mesh = make_mesh(ndev)
