@@ -25,6 +25,9 @@ class EngineConfig:
     # Wave-batched breadth-first execution across a query batch (few
     # device->host readbacks per batch); False = one query at a time.
     batch_execution: bool = True
+    # Fuse each query into one compiled program per readback boundary
+    # (dense backend only); False = one dispatch per operator.
+    fuse_stages: bool = True
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

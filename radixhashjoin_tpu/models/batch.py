@@ -36,10 +36,8 @@ from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import (OP_CODE, filter_full, filter_live,
                           narrow_filter_value)
-from ..ops.terminal import (combine_fresh_partials, terminal_probe_matrix,
-                            terminal_probe_rows,
-                            terminal_sum_existing_matrix,
-                            terminal_sum_existing_rows, terminal_sum_fresh)
+from ..ops.stage import run_stage
+from ..ops.terminal import combine_fresh_partials, terminal_join_and_project
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials, combine_weighted_partials
 from ..utils.profiling import OpProfiler, arr_bytes
@@ -49,7 +47,8 @@ from .device_catalog import DeviceCatalog
 
 class _QState:
     __slots__ = ("q", "live_rows", "live_cnt", "mat", "slot_row", "icount",
-                 "null", "flags", "probe", "fresh_slot", "sums", "terminal")
+                 "null", "flags", "probe", "fresh_slot", "sums", "terminal",
+                 "next_join", "pending", "mat_rows")
 
     def __init__(self, q: Query):
         self.q = q
@@ -63,7 +62,11 @@ class _QState:
         self.probe = None
         self.fresh_slot = None
         self.sums: List[object] = []           # 0 or (kind, partials array)
-        self.terminal: Optional[dict] = None   # factorized last-join context
+        self.terminal = False                  # last join ran fused+factorized
+        # fused-stage bookkeeping (host mirrors of static structure)
+        self.next_join = 0
+        self.pending = None                    # ("pair", s1, s2)|("attach", f)
+        self.mat_rows = 0
 
 
 class BatchExecutor:
@@ -161,47 +164,64 @@ class BatchExecutor:
             return False
 
         # factorized terminal join (dense backend): the last join's output
-        # is only ever aggregated — probe counts suffice, nothing
-        # materializes, no readback; NULL defers to a device flag
+        # is only ever aggregated — ONE fused program computes the dense
+        # count probe AND every projection; nothing materializes, no
+        # readback; NULL defers to a device flag
         if (k == len(q.joins) - 1 and self.join.kind == "dense"):
             domain = self.catalog.domain
             if not j1 and not j2:
-                counts, lvm, total = self.profiler.record(
-                    "terminal_probe",
-                    terminal_probe_rows(colA, st.live_rows[s1],
-                                        st.live_cnt[s1], colB,
-                                        st.live_rows[s2], st.live_cnt[s2],
-                                        domain),
-                    arr_bytes(st.live_rows[s1], st.live_rows[s2]) * 3)
                 # case-1 wipe semantics: only s1/s2 survive (SURVEY.md §8.5)
+                ex_kind, ex_slot, full_row = "rows", s1, 0
+                ex_source = st.live_rows[s1]
+                icount = st.live_cnt[s1]
+                fresh, col_full, col_fresh = s2, colA, colB
                 st.slot_row = {}
                 st.mat = None
-                st.terminal = dict(counts=counts, lvm=lvm,
-                                   existing=("rows", s1),
-                                   icount=st.live_cnt[s1],
-                                   fresh_slot=s2, fresh_col_join=colB,
-                                   fresh_rows=st.live_rows[s2],
-                                   fresh_cnt=st.live_cnt[s2])
             else:
                 if j1:
                     full, fresh, col_full, col_fresh = s1, s2, colA, colB
                 else:
                     full, fresh, col_full, col_fresh = s2, s1, colB, colA
-                counts, lvm, total = self.profiler.record(
-                    "terminal_probe",
-                    terminal_probe_matrix(col_full, st.mat,
-                                          np.int32(st.slot_row[full]),
-                                          st.icount, col_fresh,
-                                          st.live_rows[fresh],
-                                          st.live_cnt[fresh], domain),
-                    arr_bytes(st.mat[0], st.live_rows[fresh]) * 3)
-                st.terminal = dict(counts=counts, lvm=lvm,
-                                   existing=("mat", None),
-                                   icount=st.icount,
-                                   fresh_slot=fresh, fresh_col_join=col_fresh,
-                                   fresh_rows=st.live_rows[fresh],
-                                   fresh_cnt=st.live_cnt[fresh])
+                ex_kind, ex_slot, full_row = "mat", None, st.slot_row[full]
+                ex_source = st.mat
+                icount = st.icount
+
+            specs, cols, zero_mask = [], [], []
+            for p in q.projections:
+                col = cat.col(q.slots[p.slot], p.col)
+                if p.slot == fresh:
+                    specs.append(("fresh",))
+                    cols.append(col)
+                    zero_mask.append(False)
+                elif ex_kind == "mat" and p.slot in st.slot_row:
+                    specs.append(("mat", st.slot_row[p.slot]))
+                    cols.append(col)
+                    zero_mask.append(False)
+                elif ex_kind == "rows" and p.slot == ex_slot:
+                    specs.append(("rows",))
+                    cols.append(col)
+                    zero_mask.append(False)
+                else:
+                    zero_mask.append(True)
+
+            plan = (ex_kind, full_row, tuple(specs))
+            total, outs = self.profiler.record(
+                "terminal",
+                terminal_join_and_project(
+                    ex_source, icount, st.live_rows[fresh],
+                    st.live_cnt[fresh], col_full, col_fresh, tuple(cols),
+                    plan, domain),
+                arr_bytes(ex_source, st.live_rows[fresh]) * 3)
             st.flags.append(total == 0)
+            it = iter(zip(specs, outs))
+            for z in zero_mask:
+                if z:
+                    st.sums.append(0)
+                else:
+                    spec, arr = next(it)
+                    kind = "fresh" if spec[0] == "fresh" else "weighted"
+                    st.sums.append((kind, arr))
+            st.terminal = True
             return False
 
         if not j1 and not j2:
@@ -260,37 +280,11 @@ class BatchExecutor:
         st.probe = None
 
     def _projections(self, st: _QState) -> None:
+        if st.terminal:        # sums already produced by the fused program
+            return
         cat = self.catalog
-        t = st.terminal
         for p in st.q.projections:
             col = cat.col(st.q.slots[p.slot], p.col)
-            if t is not None:
-                kind, ex_slot = t["existing"]
-                if p.slot == t["fresh_slot"]:
-                    st.sums.append(("fresh", self.profiler.record(
-                        "aggregate",
-                        terminal_sum_fresh(col, t["fresh_col_join"],
-                                           t["fresh_rows"], t["fresh_cnt"],
-                                           t["lvm"], t["icount"],
-                                           self.catalog.domain),
-                        arr_bytes(t["lvm"]) * 4)))
-                elif kind == "rows" and p.slot == ex_slot:
-                    st.sums.append(("weighted", self.profiler.record(
-                        "aggregate",
-                        terminal_sum_existing_rows(
-                            col, st.live_rows[ex_slot], t["counts"],
-                            t["icount"]),
-                        arr_bytes(t["counts"]) * 3)))
-                elif kind == "mat" and p.slot in st.slot_row:
-                    st.sums.append(("weighted", self.profiler.record(
-                        "aggregate",
-                        terminal_sum_existing_matrix(
-                            col, st.mat, np.int32(st.slot_row[p.slot]),
-                            t["counts"], t["icount"]),
-                        arr_bytes(t["counts"]) * 3)))
-                else:
-                    st.sums.append(0)
-                continue
             row = st.slot_row.get(p.slot)
             if row is None:
                 st.sums.append(0)
@@ -301,9 +295,188 @@ class BatchExecutor:
                                            st.icount),
                     arr_bytes(st.mat[0]) * 2)))
 
-    # ---- driver ----
+    # ---- fused-stage planner (dense backend) ----
+
+    def _plan_stage(self, st: _QState, opening):
+        """Build one stage's static plan from join `st.next_join` on.
+        Returns (plan, cols, vals, layout); layout drives sum assembly
+        (entries: 0 | "limb" | "weighted" | "fresh", in projection order).
+        """
+        cat = self.catalog
+        q = st.q
+        plan, cols, vals, layout = [], [], [], []
+        if st.next_join == 0 and opening is None:
+            pristine = set(range(len(q.slots)))
+            for f in q.filters:
+                col = cat.col(q.slots[f.slot], f.col)
+                if f.slot in pristine:
+                    n = cat.relations[q.slots[f.slot]].num_tuples
+                    plan.append(("ffull", f.slot, OP_CODE[f.op],
+                                 cat.bucket(n)))
+                    pristine.discard(f.slot)
+                else:
+                    plan.append(("flive", f.slot, OP_CODE[f.op]))
+                cols.append(col)
+                vals.append(narrow_filter_value(f.op, f.value))
+        if opening is not None:
+            plan.append(opening)
+
+        k = st.next_join
+        while k < len(q.joins):
+            j = q.joins[k]
+            s1, c1, s2, c2 = j.slot1, j.col1, j.slot2, j.col2
+            colA = cat.col(q.slots[s1], c1)
+            colB = cat.col(q.slots[s2], c2)
+            if s1 == s2:
+                if s1 not in st.slot_row:
+                    plan.append(("eqrows", s1))
+                    st.slot_row = {s1: 0}
+                    st.mat_rows = 1
+                else:
+                    plan.append(("eqmat", st.slot_row[s1], st.slot_row[s2],
+                                 False))
+                cols.extend((colA, colB))
+                k += 1
+                continue
+            j1, j2 = s1 in st.slot_row, s2 in st.slot_row
+            if j1 and j2:
+                plan.append(("eqmat", st.slot_row[s1], st.slot_row[s2],
+                             True))
+                cols.extend((colA, colB))
+                k += 1
+                continue
+            terminal = (k == len(q.joins) - 1)
+            if terminal:
+                if not j1 and not j2:
+                    ex_kind, rows_slot, full_row = "rows", s1, 0
+                    fresh, col_full, col_fresh = s2, colA, colB
+                    nz = {s1: ("rows",), s2: ("fresh",)}
+                else:
+                    if j1:
+                        full, fresh, col_full, col_fresh = s1, s2, colA, colB
+                    else:
+                        full, fresh, col_full, col_fresh = s2, s1, colB, colA
+                    ex_kind, rows_slot, full_row = "mat", 0, st.slot_row[full]
+                    nz = {fresh: ("fresh",)}
+                    for slot, row in st.slot_row.items():
+                        nz[slot] = ("mat", row)
+                specs, pcols = [], []
+                for p in q.projections:
+                    spec = nz.get(p.slot)
+                    if spec is None:
+                        layout.append(0)
+                    else:
+                        specs.append(spec)
+                        pcols.append(cat.col(q.slots[p.slot], p.col))
+                        layout.append("fresh" if spec[0] == "fresh"
+                                      else "weighted")
+                plan.append(("terminal", ex_kind, (fresh, rows_slot),
+                             full_row, tuple(specs), len(pcols)))
+                cols.extend((col_full, col_fresh))
+                cols.extend(pcols)
+                st.terminal = True
+                k += 1
+                continue
+            # non-terminal case 1/2: stage ends at the probe
+            if not j1 and not j2:
+                plan.append(("probe1", s1, s2))
+                cols.extend((colA, colB))
+                st.pending = ("pair", s1, s2)
+            else:
+                if j1:
+                    full, fresh, cF, cG = s1, s2, colA, colB
+                else:
+                    full, fresh, cF, cG = s2, s1, colB, colA
+                plan.append(("probe2", st.slot_row[full], fresh))
+                cols.extend((cF, cG))
+                st.pending = ("attach", fresh)
+            st.next_join = k + 1
+            return plan, cols, vals, layout
+
+        st.next_join = k
+        st.pending = None
+        if not st.terminal:
+            # pipeline ended on a row-filter join (or no joins): plain
+            # limb-sum projections over the materialized intermediate
+            for p in q.projections:
+                row = st.slot_row.get(p.slot)
+                if row is None:
+                    layout.append(0)
+                else:
+                    plan.append(("project", row))
+                    cols.append(cat.col(q.slots[p.slot], p.col))
+                    layout.append("limb")
+        return plan, cols, vals, layout
+
+    def _apply_stage(self, st: _QState, plan, cols, vals, layout) -> None:
+        mat_in = st.mat if st.mat is not None else jnp.zeros((1, 1024),
+                                                            jnp.int32)
+        probe_in = st.probe if st.probe is not None else ()
+        out = self.profiler.record(
+            "stage",
+            run_stage(tuple(st.live_rows), tuple(st.live_cnt), mat_in,
+                      st.icount, probe_in, tuple(cols), tuple(vals),
+                      tuple(plan), self.catalog.domain),
+            0)
+        st.live_rows = list(out[0])
+        st.live_cnt = list(out[1])
+        st.mat, st.icount = out[2], out[3]
+        st.probe = out[4] if out[4] != () else None
+        st.flags.extend(out[5])
+        parts = iter(out[6])
+        for entry in layout:
+            if entry == 0:
+                st.sums.append(0)
+            else:
+                st.sums.append((entry, next(parts)))
+
+    def _run_batch_fused(self, queries: Sequence[Query]
+                         ) -> List[Optional[List[int]]]:
+        states = []
+        for q in queries:
+            st = _QState(q)
+            cat = self.catalog
+            for s in range(len(q.slots)):
+                n = cat.relations[q.slots[s]].num_tuples
+                st.live_rows.append(cat.iota(cat.bucket(n)))
+                st.live_cnt.append(np.int32(n))
+            states.append(st)
+            self._apply_stage(st, *self._plan_stage(st, None))
+        while True:
+            pend = [st for st in states if st.probe is not None
+                    and not st.null]
+            if not pend:
+                break
+            totals = np.asarray(jnp.stack([st.probe[4] for st in pend]))
+            for st, total in zip(pend, totals):
+                total = int(total)
+                kind = st.pending
+                st_probe_kind = kind[0]
+                if total == 0:
+                    st.null = True
+                    st.probe = None
+                    st.pending = None
+                    continue
+                out = self.catalog.bucket(total)
+                if st_probe_kind == "pair":
+                    _, s1, s2 = kind
+                    opening = ("expand_pair", s1, s2, out)
+                    st.slot_row = {s1: 0, s2: 1}
+                    st.mat_rows = 2
+                else:
+                    _, fresh = kind
+                    opening = ("expand_attach", fresh, out)
+                    st.slot_row[fresh] = st.mat_rows
+                    st.mat_rows += 1
+                st.pending = None
+                self._apply_stage(st, *self._plan_stage(st, opening))
+        return self._final_sweep(states)
+
+    # ---- per-op driver (sort backend / fusion off) ----
 
     def run_batch(self, queries: Sequence[Query]) -> List[Optional[List[int]]]:
+        if self.join.kind == "dense" and self.config.fuse_stages:
+            return self._run_batch_fused(queries)
         states = [self._init_and_filter(q) for q in queries]
 
         max_joins = max((len(st.q.joins) for st in states), default=0)
@@ -323,7 +496,10 @@ class BatchExecutor:
         for st in states:
             if not st.null:
                 self._projections(st)
+        return self._final_sweep(states)
 
+    def _final_sweep(self, states: List[_QState]
+                     ) -> List[Optional[List[int]]]:
         # final sweep: ONE readback for all flags + all partials
         all_flags = [f for st in states if not st.null for f in st.flags]
         parts = [s[1].reshape(-1) for st in states if not st.null

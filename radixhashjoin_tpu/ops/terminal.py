@@ -82,14 +82,9 @@ _L0, _L1 = 11, 11
 _STAGE1 = 16          # first-stage chunk: gathered entries < 2**27
 
 
-@partial(jax.jit, static_argnames=("domain",))
-def terminal_sum_fresh(col_proj, col_join, fresh_rows, fresh_cnt,
-                       lvm, icount, domain):
-    """sum over existing rows e of T[lvm[e]] where T[v] = sum of
-    col_proj over live fresh rows with col_join == v.
-
-    Returns (3, 2, m) int32 partials; combine with
-    combine_fresh_partials on the host."""
+def _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
+                    lvm, icount, domain):
+    """Traceable body of terminal_sum_fresh (shared with the fused op)."""
     R = fresh_rows.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
     live_r = ri < fresh_cnt
@@ -113,6 +108,56 @@ def terminal_sum_fresh(col_proj, col_join, fresh_rows, fresh_cnt,
         hi = (s1 >> 16).reshape(m // c2, c2).sum(axis=1, dtype=jnp.int32)
         outs.append(jnp.stack([lo, hi]))
     return jnp.stack(outs)
+
+
+@partial(jax.jit, static_argnames=("domain",))
+def terminal_sum_fresh(col_proj, col_join, fresh_rows, fresh_cnt,
+                       lvm, icount, domain):
+    """sum over existing rows e of T[lvm[e]] where T[v] = sum of
+    col_proj over live fresh rows with col_join == v.
+
+    Returns (3, 2, m) int32 partials; combine with
+    combine_fresh_partials on the host."""
+    return _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
+                           lvm, icount, domain)
+
+
+@partial(jax.jit, static_argnames=("plan", "domain"))
+def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
+                              col_full, col_join_fresh, proj_cols,
+                              plan, domain):
+    """ONE compiled program for the whole terminal join: dense count probe
+    + every projection's reduction. Dispatch count is the dominant cost of
+    the workload on a remote-attached chip (~2-7 ms per call), so the
+    final join costs one dispatch instead of 1 + #projections.
+
+    plan (static): (ex_kind, full_row, proj_specs) where ex_kind is
+    "mat"/"rows", full_row indexes the intermediate matrix row holding the
+    full side's rowids (ignored for "rows"), and proj_specs is a tuple of
+    ("fresh",) | ("mat", row) | ("rows",) aligned with proj_cols.
+
+    Returns (total, tuple of per-projection partials) — total==0 is the
+    deferred NULL flag; partial kinds are "fresh"/"weighted" per spec.
+    """
+    ex_kind, full_row, proj_specs = plan
+    if ex_kind == "mat":
+        lv = col_full[ex_source[full_row]]
+    else:
+        lv = col_full[ex_source]
+    counts, lvm = _dense_counts(lv, icount, col_join_fresh[fresh_rows],
+                                fresh_cnt, domain)
+    total = jnp.sum(counts)
+    outs = []
+    for spec, col in zip(proj_specs, proj_cols):
+        if spec[0] == "fresh":
+            outs.append(_fresh_sum_body(col, col_join_fresh, fresh_rows,
+                                        fresh_cnt, lvm, icount, domain))
+        elif spec[0] == "mat":
+            outs.append(weighted_partials(col[ex_source[spec[1]]], counts,
+                                          icount))
+        else:  # "rows"
+            outs.append(weighted_partials(col[ex_source], counts, icount))
+    return total, tuple(outs)
 
 
 _U64_MASK = (1 << 64) - 1

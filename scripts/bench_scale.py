@@ -39,6 +39,13 @@ def main() -> None:
                    help="log2 rows per side (default 2^26 = 67M)")
     p.add_argument("--devices", type=int, default=0,
                    help="mesh size (0 = all available)")
+    p.add_argument("--skew-rows", type=int, default=1 << 16,
+                   help="rows for the skew-aware distributed config")
+    p.add_argument("--skew", action="store_true",
+                   help="also run the distributed skew-aware config "
+                        "(opt-in: this environment's remote AOT compiler "
+                        "takes minutes-to-hours on the SPMD program; the "
+                        "8-virtual-device CPU tests cover it functionally)")
     args = p.parse_args()
 
     import jax
@@ -70,11 +77,10 @@ def main() -> None:
         "value": round(2 * n / dt), "unit": "tuples/s",
         "seconds": round(dt, 4)}))
 
-    # --- config: Zipf-skewed distributed skew-aware join ---
-    # (smaller: this environment's remote AOT compiler takes minutes on the
-    # full SPMD program and scales badly with buffer sizes; steady-state
-    # throughput is what's measured, the compile is cached)
-    n = min(n, 1 << 19)
+    # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
+    if not args.skew:
+        return
+    n = min(n, args.skew_rows)
     rv = rv[:n]
     ndev = args.devices or len(jax.devices())
     mesh = make_mesh(ndev)
