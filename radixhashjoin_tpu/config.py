@@ -28,6 +28,9 @@ class EngineConfig:
     # Fuse each query into one compiled program per readback boundary
     # (dense backend only); False = one dispatch per operator.
     fuse_stages: bool = True
+    # Queries packed into ONE fused program per round (dispatch-count vs
+    # compile-size tradeoff; the whole golden workload fits one group).
+    stage_group: int = 64
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

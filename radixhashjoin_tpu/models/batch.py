@@ -295,31 +295,50 @@ class BatchExecutor:
                                            st.icount),
                     arr_bytes(st.mat[0]) * 2)))
 
-    # ---- fused-stage planner (dense backend) ----
+    # ---- fused-stage planner + grouped driver (dense backend) ----
 
-    def _plan_stage(self, st: _QState, opening):
-        """Build one stage's static plan from join `st.next_join` on.
-        Returns (plan, cols, vals, layout); layout drives sum assembly
-        (entries: 0 | "limb" | "weighted" | "fresh", in projection order).
-        """
+    def _plan_stage(self, st: _QState, opening, slot_off: int, mi: int,
+                    pi):
+        """Build one stage's static plan for this query, with slot indices
+        offset into the group's concatenated live arrays, mat index `mi`,
+        and (for a stage opened by an expansion) probe index `pi`.
+
+        Returns (plan, cols, vals, layout, n_flags); layout drives sum
+        assembly (entries: 0 | "limb" | "weighted" | "fresh", in
+        projection order)."""
         cat = self.catalog
         q = st.q
         plan, cols, vals, layout = [], [], [], []
+        n_flags = 0
         if st.next_join == 0 and opening is None:
             pristine = set(range(len(q.slots)))
             for f in q.filters:
                 col = cat.col(q.slots[f.slot], f.col)
                 if f.slot in pristine:
                     n = cat.relations[q.slots[f.slot]].num_tuples
-                    plan.append(("ffull", f.slot, OP_CODE[f.op],
+                    plan.append(("ffull", f.slot + slot_off, OP_CODE[f.op],
                                  cat.bucket(n)))
                     pristine.discard(f.slot)
                 else:
-                    plan.append(("flive", f.slot, OP_CODE[f.op]))
+                    plan.append(("flive", f.slot + slot_off, OP_CODE[f.op]))
                 cols.append(col)
                 vals.append(narrow_filter_value(f.op, f.value))
+                n_flags += 1
         if opening is not None:
-            plan.append(opening)
+            kind, out_size = opening
+            if kind == "pair":
+                _, s1, s2 = st.pending
+                plan.append(("expand_pair", pi, mi, s1 + slot_off,
+                             s2 + slot_off, out_size))
+                st.slot_row = {s1: 0, s2: 1}
+                st.mat_rows = 2
+            else:
+                _, fresh = st.pending
+                plan.append(("expand_attach", pi, mi, fresh + slot_off,
+                             out_size))
+                st.slot_row[fresh] = st.mat_rows
+                st.mat_rows += 1
+            st.pending = None
 
         k = st.next_join
         while k < len(q.joins):
@@ -329,20 +348,21 @@ class BatchExecutor:
             colB = cat.col(q.slots[s2], c2)
             if s1 == s2:
                 if s1 not in st.slot_row:
-                    plan.append(("eqrows", s1))
+                    plan.append(("eqrows", mi, s1 + slot_off))
                     st.slot_row = {s1: 0}
                     st.mat_rows = 1
                 else:
-                    plan.append(("eqmat", st.slot_row[s1], st.slot_row[s2],
-                                 False))
+                    plan.append(("eqmat", mi, st.slot_row[s1],
+                                 st.slot_row[s2], False))
                 cols.extend((colA, colB))
                 k += 1
                 continue
             j1, j2 = s1 in st.slot_row, s2 in st.slot_row
             if j1 and j2:
-                plan.append(("eqmat", st.slot_row[s1], st.slot_row[s2],
+                plan.append(("eqmat", mi, st.slot_row[s1], st.slot_row[s2],
                              True))
                 cols.extend((colA, colB))
+                n_flags += 1
                 k += 1
                 continue
             terminal = (k == len(q.joins) - 1)
@@ -370,16 +390,18 @@ class BatchExecutor:
                         pcols.append(cat.col(q.slots[p.slot], p.col))
                         layout.append("fresh" if spec[0] == "fresh"
                                       else "weighted")
-                plan.append(("terminal", ex_kind, (fresh, rows_slot),
+                plan.append(("terminal", mi, ex_kind,
+                             (fresh + slot_off, rows_slot + slot_off),
                              full_row, tuple(specs), len(pcols)))
                 cols.extend((col_full, col_fresh))
                 cols.extend(pcols)
+                n_flags += 1
                 st.terminal = True
                 k += 1
                 continue
             # non-terminal case 1/2: stage ends at the probe
             if not j1 and not j2:
-                plan.append(("probe1", s1, s2))
+                plan.append(("probe1", s1 + slot_off, s2 + slot_off))
                 cols.extend((colA, colB))
                 st.pending = ("pair", s1, s2)
             else:
@@ -387,11 +409,12 @@ class BatchExecutor:
                     full, fresh, cF, cG = s1, s2, colA, colB
                 else:
                     full, fresh, cF, cG = s2, s1, colB, colA
-                plan.append(("probe2", st.slot_row[full], fresh))
+                plan.append(("probe2", mi, st.slot_row[full],
+                             fresh + slot_off))
                 cols.extend((cF, cG))
                 st.pending = ("attach", fresh)
             st.next_join = k + 1
-            return plan, cols, vals, layout
+            return plan, cols, vals, layout, n_flags
 
         st.next_join = k
         st.pending = None
@@ -403,73 +426,106 @@ class BatchExecutor:
                 if row is None:
                     layout.append(0)
                 else:
-                    plan.append(("project", row))
+                    plan.append(("project", mi, row))
                     cols.append(cat.col(q.slots[p.slot], p.col))
                     layout.append("limb")
-        return plan, cols, vals, layout
+        return plan, cols, vals, layout, n_flags
 
-    def _apply_stage(self, st: _QState, plan, cols, vals, layout) -> None:
-        mat_in = st.mat if st.mat is not None else jnp.zeros((1, 1024),
-                                                            jnp.int32)
-        probe_in = st.probe if st.probe is not None else ()
+    _MAT_PLACEHOLDER_WIDTH = 1024
+
+    def _run_round(self, round_states, openings) -> None:
+        """Plan + execute ONE fused program covering every state in the
+        round (openings: {state: ("pair"/"attach", out_size)})."""
+        plan, cols, vals = [], [], []
+        live_in, cnt_in, mats_in, ic_in, probes_in = [], [], [], [], []
+        meta = []
+        for st in round_states:
+            slot_off = len(live_in)
+            live_in.extend(st.live_rows)
+            cnt_in.extend(st.live_cnt)
+            mi = len(mats_in)
+            mats_in.append(st.mat if st.mat is not None else
+                           jnp.zeros((1, self._MAT_PLACEHOLDER_WIDTH),
+                                     jnp.int32))
+            ic_in.append(st.icount)
+            opening = openings.get(id(st))
+            pi = None
+            if opening is not None:
+                pi = len(probes_in)
+                probes_in.append(st.probe)
+                st.probe = None
+            p, c, v, layout, n_flags = self._plan_stage(st, opening,
+                                                        slot_off, mi, pi)
+            emits_probe = bool(p) and p[-1][0] in ("probe1", "probe2")
+            n_parts = sum(1 for e in layout if e != 0)
+            meta.append((st, slot_off, len(st.live_rows), mi, layout,
+                         n_flags, n_parts, emits_probe))
+            plan.extend(p)
+            cols.extend(c)
+            vals.extend(v)
+        if not plan:
+            return
         out = self.profiler.record(
             "stage",
-            run_stage(tuple(st.live_rows), tuple(st.live_cnt), mat_in,
-                      st.icount, probe_in, tuple(cols), tuple(vals),
-                      tuple(plan), self.catalog.domain),
+            run_stage(tuple(live_in), tuple(cnt_in), tuple(mats_in),
+                      tuple(ic_in), tuple(probes_in), tuple(cols),
+                      tuple(vals), tuple(plan), self.catalog.domain),
             0)
-        st.live_rows = list(out[0])
-        st.live_cnt = list(out[1])
-        st.mat, st.icount = out[2], out[3]
-        st.probe = out[4] if out[4] != () else None
-        st.flags.extend(out[5])
-        parts = iter(out[6])
-        for entry in layout:
-            if entry == 0:
-                st.sums.append(0)
-            else:
-                st.sums.append((entry, next(parts)))
+        lr, lc, mats, ics, probes_out, flags, partials = out
+        fi = pi_out = qi = 0
+        for (st, slot_off, n_slots, mi, layout, n_flags, n_parts,
+             emits_probe) in meta:
+            st.live_rows = list(lr[slot_off:slot_off + n_slots])
+            st.live_cnt = list(lc[slot_off:slot_off + n_slots])
+            st.mat = mats[mi]
+            st.icount = ics[mi]
+            st.flags.extend(flags[fi:fi + n_flags])
+            fi += n_flags
+            parts = iter(partials[qi:qi + n_parts])
+            qi += n_parts
+            for entry in layout:
+                st.sums.append(0 if entry == 0 else (entry, next(parts)))
+            if emits_probe:
+                st.probe = probes_out[pi_out]
+                pi_out += 1
 
     def _run_batch_fused(self, queries: Sequence[Query]
                          ) -> List[Optional[List[int]]]:
+        cat = self.catalog
         states = []
         for q in queries:
             st = _QState(q)
-            cat = self.catalog
             for s in range(len(q.slots)):
                 n = cat.relations[q.slots[s]].num_tuples
                 st.live_rows.append(cat.iota(cat.bucket(n)))
                 st.live_cnt.append(np.int32(n))
             states.append(st)
-            self._apply_stage(st, *self._plan_stage(st, None))
+        group = self.config.stage_group
+        for i in range(0, len(states), group):
+            self._run_round(states[i:i + group], {})
         while True:
             pend = [st for st in states if st.probe is not None
                     and not st.null]
             if not pend:
                 break
             totals = np.asarray(jnp.stack([st.probe[4] for st in pend]))
+            openings = {}
+            live = []
             for st, total in zip(pend, totals):
                 total = int(total)
-                kind = st.pending
-                st_probe_kind = kind[0]
                 if total == 0:
                     st.null = True
                     st.probe = None
                     st.pending = None
                     continue
-                out = self.catalog.bucket(total)
-                if st_probe_kind == "pair":
-                    _, s1, s2 = kind
-                    opening = ("expand_pair", s1, s2, out)
-                    st.slot_row = {s1: 0, s2: 1}
-                    st.mat_rows = 2
-                else:
-                    _, fresh = kind
-                    opening = ("expand_attach", fresh, out)
-                    st.slot_row[fresh] = st.mat_rows
-                    st.mat_rows += 1
-                st.pending = None
-                self._apply_stage(st, *self._plan_stage(st, opening))
+                openings[id(st)] = (st.pending[0],
+                                    self.catalog.bucket(total))
+                live.append(st)
+            for i in range(0, len(live), group):
+                chunk = live[i:i + group]
+                self._run_round(chunk, openings)
+        return self._final_sweep(states)
+
         return self._final_sweep(states)
 
     # ---- per-op driver (sort backend / fusion off) ----

@@ -1,31 +1,38 @@
-"""Fused stage runner: one compiled program per readback boundary.
+"""Fused stage runner: one compiled program per readback boundary,
+covering a GROUP of queries at once.
 
 On a remote-attached chip every dispatch costs ~2-7 ms of transport
 overhead, which dominates the workload once the math is fast. The batch
-executor therefore compiles each query into STAGES — maximal runs of
+executor therefore compiles queries into STAGES — maximal runs of
 operators between output-shape readbacks (only a non-terminal join's
-expansion size needs the host) — and `run_stage` executes one stage as a
-single XLA program. A two-join query becomes exactly two dispatches:
+expansion size needs the host) — and packs many queries' stages into a
+single XLA program. The whole 50-query golden workload executes in a
+handful of dispatches:
 
-  stage 0: filters -> first probe                      (ends: needs size)
-  stage 1: expansion -> terminal join + every SUM      (no readback at all)
+  round 0: every query's filters + first join (probe or fused terminal)
+  sync    : one stacked readback of all pending expansion sizes
+  round k: expansion + next join ... until no probes remain
+  sweep   : one readback of all NULL flags + SUM partials
 
 The plan is a static tuple of op descriptors; the jitted ops from
-filter/chain/backend/terminal inline into the stage under the outer jit,
-so XLA sees (and fuses across) the whole stage. Dense-backend only — the
-sort backend keeps the per-op path.
+filter/chain/backend/terminal inline under the outer jit, so XLA sees
+(and fuses across) everything. Dense-backend only — the sort backend
+keeps the per-op path.
 
-Op descriptors (all fields static):
-  ("ffull", slot, opcode, bucket)      first filter on a pristine slot
-  ("flive", slot, opcode)              subsequent filter
-  ("eqrows", slot)                     fresh same-slot predicate (wipes)
-  ("eqmat", r1, r2, null_flag)         case 3 / joined same-slot filter
-  ("probe1", s1, s2)                   case-1 probe — ENDS the stage
-  ("probe2", full_row, fresh)          case-2 probe — ENDS the stage
-  ("expand_pair", s1, s2, out)         stage-opening case-1 expansion
-  ("expand_attach", fresh, out)        stage-opening case-2 expansion
-  ("terminal", ex_kind, ex_slot, full_row, proj_specs, n_cols)
-  ("project", row)                     non-terminal projection (limb sum)
+Op descriptors (all fields static; slot indices are GLOBAL across the
+group's concatenated live arrays; `mi` indexes the group's mats; `pi`
+indexes the probes consumed by expansions):
+  ("ffull", slot, opcode, bucket)        first filter on a pristine slot
+  ("flive", slot, opcode)                subsequent filter
+  ("eqrows", mi, slot)                   fresh same-slot predicate (wipes)
+  ("eqmat", mi, r1, r2, null_flag)       case 3 / joined same-slot filter
+  ("probe1", s1, s2)                     case-1 probe (emits a probe)
+  ("probe2", mi, full_row, fresh)        case-2 probe (emits a probe)
+  ("expand_pair", pi, mi, s1, s2, out)   case-1 expansion into mats[mi]
+  ("expand_attach", pi, mi, fresh, out)  case-2 expansion of mats[mi]
+  ("terminal", mi, ex_kind, (fresh_slot, rows_slot), full_row,
+   proj_specs, n_cols)                   fused terminal join + SUMs
+  ("project", mi, row)                   non-terminal projection (limb sum)
 
 Column operands arrive in `cols` in plan order; filter constants in
 `vals`.
@@ -49,16 +56,18 @@ from .terminal import terminal_join_and_project
 
 
 @partial(jax.jit, static_argnames=("plan", "domain"))
-def run_stage(live_rows, live_cnt, mat, icount, probe, cols, vals,
+def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
               plan, domain):
-    """Execute one fused stage. Returns
-    (live_rows, live_cnt, mat, icount, probe_out, flags, partials)."""
+    """Execute one fused stage for a group of queries. Returns
+    (live_rows, live_cnt, mats, icounts, probes_out, flags, partials)."""
     lr = list(live_rows)
     lc = list(live_cnt)
+    mats = list(mats)
+    ic = list(icounts)
     ci = vi = 0
     flags = []
     partials = []
-    probe_out = ()
+    probes_out = []
     for op in plan:
         k = op[0]
         if k == "ffull":
@@ -77,50 +86,49 @@ def run_stage(live_rows, live_cnt, mat, icount, probe, cols, vals,
             lr[slot], lc[slot] = rows, cnt
             flags.append(cnt == 0)
         elif k == "eqrows":
-            _, slot = op
+            _, mi, slot = op
             rows, cnt = eq_filter_rows(cols[ci], cols[ci + 1], lr[slot],
                                        lc[slot])
             ci += 2
-            mat, icount = rows[None], cnt
+            mats[mi], ic[mi] = rows[None], cnt
         elif k == "eqmat":
-            _, r1, r2, null_flag = op
+            _, mi, r1, r2, null_flag = op
             colA, colB = cols[ci], cols[ci + 1]
             ci += 2
             if null_flag:
-                flags.append(~dense_any_common(colA[mat[r1]], colB[mat[r2]],
-                                               icount, domain))
-            mat, icount = eq_filter_matrix(colA, colB, mat, r1, r2, icount)
+                flags.append(~dense_any_common(colA[mats[mi][r1]],
+                                               colB[mats[mi][r2]],
+                                               ic[mi], domain))
+            mats[mi], ic[mi] = eq_filter_matrix(colA, colB, mats[mi], r1, r2,
+                                                ic[mi])
         elif k == "probe1":
             _, s1, s2 = op
-            probe_out = _probe_rows_dense(cols[ci], lr[s1], lc[s1],
-                                          cols[ci + 1], lr[s2], lc[s2],
-                                          domain)
+            probes_out.append(_probe_rows_dense(cols[ci], lr[s1], lc[s1],
+                                                cols[ci + 1], lr[s2], lc[s2],
+                                                domain))
             ci += 2
         elif k == "probe2":
-            _, full_row, fresh = op
-            probe_out = _probe_matrix_dense(cols[ci], mat,
-                                            np.int32(full_row), icount,
-                                            cols[ci + 1], lr[fresh],
-                                            lc[fresh], domain)
+            _, mi, full_row, fresh = op
+            probes_out.append(_probe_matrix_dense(
+                cols[ci], mats[mi], np.int32(full_row), ic[mi],
+                cols[ci + 1], lr[fresh], lc[fresh], domain))
             ci += 2
         elif k == "expand_pair":
-            _, s1, s2, out = op
-            mat = _expand_pair_dense(*probe[:4], lr[s1], lr[s2], out)
-            icount = probe[4]
-            probe = ()
+            _, pi, mi, s1, s2, out = op
+            mats[mi] = _expand_pair_dense(*probes[pi][:4], lr[s1], lr[s2],
+                                          out)
+            ic[mi] = probes[pi][4]
         elif k == "expand_attach":
-            _, fresh, out = op
-            mat = _expand_attach_dense(*probe[:4], mat, lr[fresh], out)
-            icount = probe[4]
-            probe = ()
+            _, pi, mi, fresh, out = op
+            mats[mi] = _expand_attach_dense(*probes[pi][:4], mats[mi],
+                                            lr[fresh], out)
+            ic[mi] = probes[pi][4]
         elif k == "terminal":
-            _, ex_kind, ex_slot, full_row, proj_specs, n_cols = op
+            _, mi, ex_kind, ex_slots, full_row, proj_specs, n_cols = op
             col_full, col_fresh_join = cols[ci], cols[ci + 1]
-            # ex_slot is (fresh_slot, rows_slot); rows_slot is only
-            # meaningful when ex_kind == "rows" (case-1 terminal)
-            fresh_slot, rows_slot = ex_slot
-            src = mat if ex_kind == "mat" else lr[rows_slot]
-            cnt = icount if ex_kind == "mat" else lc[rows_slot]
+            fresh_slot, rows_slot = ex_slots
+            src = mats[mi] if ex_kind == "mat" else lr[rows_slot]
+            cnt = ic[mi] if ex_kind == "mat" else lc[rows_slot]
             pc = tuple(cols[ci + 2:ci + 2 + n_cols])
             ci += 2 + n_cols
             total, outs = terminal_join_and_project(
@@ -129,10 +137,11 @@ def run_stage(live_rows, live_cnt, mat, icount, probe, cols, vals,
             flags.append(total == 0)
             partials.extend(outs)
         elif k == "project":
-            _, row = op
-            partials.append(_gather_partials(cols[ci], mat[row], icount))
+            _, mi, row = op
+            partials.append(_gather_partials(cols[ci], mats[mi][row],
+                                             ic[mi]))
             ci += 1
         else:  # pragma: no cover
             raise ValueError(op)
-    return (tuple(lr), tuple(lc), mat, icount, probe_out, tuple(flags),
-            tuple(partials))
+    return (tuple(lr), tuple(lc), tuple(mats), tuple(ic),
+            tuple(probes_out), tuple(flags), tuple(partials))
