@@ -28,9 +28,11 @@ class EngineConfig:
     # Fuse each query into one compiled program per readback boundary
     # (dense backend only); False = one dispatch per operator.
     fuse_stages: bool = True
-    # Queries packed into ONE fused program per round (dispatch-count vs
-    # compile-size tradeoff; the whole golden workload fits one group).
-    stage_group: int = 64
+    # Queries packed into one fused program per round. 1 (default) lets
+    # async dispatch pipeline per-query programs — measured fastest on the
+    # axon transport; raise it on links where the host cannot pipeline
+    # dispatches.
+    stage_group: int = 1
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

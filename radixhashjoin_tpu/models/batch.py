@@ -36,7 +36,7 @@ from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import (OP_CODE, filter_full, filter_live,
                           narrow_filter_value)
-from ..ops.stage import run_stage
+from ..ops.stage import run_stage, touched_state
 from ..ops.terminal import combine_fresh_partials, terminal_join_and_project
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials, combine_weighted_partials
@@ -465,20 +465,27 @@ class BatchExecutor:
             vals.extend(v)
         if not plan:
             return
+        plan_t = tuple(plan)
         out = self.profiler.record(
             "stage",
             run_stage(tuple(live_in), tuple(cnt_in), tuple(mats_in),
                       tuple(ic_in), tuple(probes_in), tuple(cols),
-                      tuple(vals), tuple(plan), self.catalog.domain),
+                      tuple(vals), plan_t, self.catalog.domain),
             0)
         lr, lc, mats, ics, probes_out, flags, partials = out
+        t_slots, t_mats = touched_state(plan_t)
+        slot_new = dict(zip(t_slots, zip(lr, lc)))
+        mat_new = dict(zip(t_mats, zip(mats, ics)))
         fi = pi_out = qi = 0
         for (st, slot_off, n_slots, mi, layout, n_flags, n_parts,
              emits_probe) in meta:
-            st.live_rows = list(lr[slot_off:slot_off + n_slots])
-            st.live_cnt = list(lc[slot_off:slot_off + n_slots])
-            st.mat = mats[mi]
-            st.icount = ics[mi]
+            for i in range(n_slots):
+                upd = slot_new.get(slot_off + i)
+                if upd is not None:
+                    st.live_rows[i], st.live_cnt[i] = upd
+            upd = mat_new.get(mi)
+            if upd is not None:
+                st.mat, st.icount = upd
             st.flags.extend(flags[fi:fi + n_flags])
             fi += n_flags
             parts = iter(partials[qi:qi + n_parts])

@@ -55,11 +55,24 @@ from .join_dense import dense_any_common
 from .terminal import terminal_join_and_project
 
 
+def touched_state(plan):
+    """Static analysis of a plan: (slots written, mat indices written).
+    Only these come back as stage outputs — pass-through state would
+    otherwise be materialized as program outputs (wasted HBM traffic)."""
+    slots = sorted({op[1] for op in plan if op[0] in ("ffull", "flive")})
+    mats = sorted({op[1] for op in plan
+                   if op[0] in ("eqrows", "eqmat")} |
+                  {op[2] for op in plan
+                   if op[0] in ("expand_pair", "expand_attach")})
+    return tuple(slots), tuple(mats)
+
+
 @partial(jax.jit, static_argnames=("plan", "domain"))
 def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
               plan, domain):
     """Execute one fused stage for a group of queries. Returns
-    (live_rows, live_cnt, mats, icounts, probes_out, flags, partials)."""
+    (touched live_rows, touched live_cnt, touched mats, touched icounts,
+    probes_out, flags, partials) — see touched_state for the index sets."""
     lr = list(live_rows)
     lc = list(live_cnt)
     mats = list(mats)
@@ -143,5 +156,7 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             ci += 1
         else:  # pragma: no cover
             raise ValueError(op)
-    return (tuple(lr), tuple(lc), tuple(mats), tuple(ic),
+    t_slots, t_mats = touched_state(plan)
+    return (tuple(lr[s] for s in t_slots), tuple(lc[s] for s in t_slots),
+            tuple(mats[m] for m in t_mats), tuple(ic[m] for m in t_mats),
             tuple(probes_out), tuple(flags), tuple(partials))
