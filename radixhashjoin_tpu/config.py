@@ -33,6 +33,10 @@ class EngineConfig:
     # axon transport; raise it on links where the host cannot pipeline
     # dispatches.
     stage_group: int = 1
+    # Defer a middle join's fresh attach into the terminal stage when no
+    # later join probes it: rows never expand (a mult row carries the
+    # multiplicity) and the readback boundary disappears.
+    defer_middle: bool = True
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

@@ -37,7 +37,9 @@ from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import (OP_CODE, filter_full, filter_live,
                           narrow_filter_value)
 from ..ops.stage import run_stage, touched_state
-from ..ops.terminal import combine_fresh_partials, terminal_join_and_project
+from ..ops.terminal import (combine_fresh_partials,
+                            combine_fresh_w_partials,
+                            terminal_join_and_project)
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials, combine_weighted_partials
 from ..utils.profiling import OpProfiler, arr_bytes
@@ -48,7 +50,8 @@ from .device_catalog import DeviceCatalog
 class _QState:
     __slots__ = ("q", "live_rows", "live_cnt", "mat", "slot_row", "icount",
                  "null", "flags", "probe", "fresh_slot", "sums", "terminal",
-                 "next_join", "pending", "mat_rows")
+                 "next_join", "pending", "mat_rows", "mult_row", "lv_row",
+                 "defer_slot", "defer_col_join")
 
     def __init__(self, q: Query):
         self.q = q
@@ -67,6 +70,11 @@ class _QState:
         self.next_join = 0
         self.pending = None                    # ("pair", s1, s2)|("attach", f)
         self.mat_rows = 0
+        # deferred middle attach (at most one, immediately pre-terminal)
+        self.mult_row = None
+        self.lv_row = None
+        self.defer_slot = None
+        self.defer_col_join = None
 
 
 class BatchExecutor:
@@ -303,12 +311,13 @@ class BatchExecutor:
         offset into the group's concatenated live arrays, mat index `mi`,
         and (for a stage opened by an expansion) probe index `pi`.
 
-        Returns (plan, cols, vals, layout, n_flags); layout drives sum
-        assembly (entries: 0 | "limb" | "weighted" | "fresh", in
-        projection order)."""
+        Returns (plan, cols, vals, sum_map, n_flags, sums_done);
+        sum_map lists (projection index, partial kind) in PARTIALS order
+        (the order the stage emits them); sums_done means every projection
+        is accounted for this stage (missing indices are zero)."""
         cat = self.catalog
         q = st.q
-        plan, cols, vals, layout = [], [], [], []
+        plan, cols, vals, sum_map = [], [], [], []
         n_flags = 0
         if st.next_join == 0 and opening is None:
             pristine = set(range(len(q.slots)))
@@ -380,25 +389,86 @@ class BatchExecutor:
                     nz = {fresh: ("fresh",)}
                     for slot, row in st.slot_row.items():
                         nz[slot] = ("mat", row)
-                specs, pcols = [], []
-                for p in q.projections:
+                fresh_kind = "fresh" if st.mult_row is None else "fresh_w"
+                specs, pcols, defer_projs = [], [], []
+                for idx, p in enumerate(q.projections):
                     spec = nz.get(p.slot)
-                    if spec is None:
-                        layout.append(0)
-                    else:
+                    if spec is not None:
                         specs.append(spec)
                         pcols.append(cat.col(q.slots[p.slot], p.col))
-                        layout.append("fresh" if spec[0] == "fresh"
-                                      else "weighted")
+                        sum_map.append((idx, fresh_kind
+                                        if spec[0] == "fresh"
+                                        else "weighted"))
+                    elif (st.mult_row is not None
+                          and p.slot == st.defer_slot):
+                        defer_projs.append((idx, p))
                 plan.append(("terminal", mi, ex_kind,
                              (fresh + slot_off, rows_slot + slot_off),
-                             full_row, tuple(specs), len(pcols)))
+                             full_row, tuple(specs), len(pcols),
+                             st.mult_row))
                 cols.extend((col_full, col_fresh))
                 cols.extend(pcols)
                 n_flags += 1
+                for idx, p in defer_projs:
+                    # projection on the deferred slot: terminal-count-
+                    # weighted sum over that slot's value table
+                    plan.append(("project_defer", mi, full_row,
+                                 fresh + slot_off, st.lv_row,
+                                 st.defer_slot + slot_off))
+                    cols.extend((col_full, col_fresh, st.defer_col_join,
+                                 cat.col(q.slots[p.slot], p.col)))
+                    sum_map.append((idx, "fresh_w"))
                 st.terminal = True
                 k += 1
                 continue
+            # deferred middle attach: the next join is the terminal and
+            # never probes this join's fresh slot -> fold this join into
+            # the stage as a multiplicity update (no expansion, no
+            # readback boundary)
+            if (self.config.defer_middle and st.mult_row is None
+                    and k == len(q.joins) - 2):
+                jn = q.joins[k + 1]
+                jn_slots = (jn.slot1, jn.slot2)
+                if j1 or j2:
+                    # case 2: the fresh side is fixed
+                    f = s2 if j1 else s1
+                    mset = set(st.slot_row)
+                else:
+                    # case 1: defer whichever side the terminal does NOT
+                    # probe (sums are orientation-independent)
+                    if s2 not in jn_slots:
+                        f = s2
+                    elif s1 not in jn_slots:
+                        f = s1
+                    else:
+                        f = None
+                    if f is not None:
+                        mset = {s1 if f == s2 else s2}
+                if (f is not None and jn.slot1 != jn.slot2
+                        and f not in jn_slots
+                        and ((jn.slot1 in mset) != (jn.slot2 in mset))):
+                    if j1 or j2:
+                        col_full = colA if j1 else colB
+                        col_fr = colB if j1 else colA
+                        src = ("mat", st.slot_row[s1 if j1 else s2])
+                        base_rows = st.mat_rows
+                    else:
+                        base_slot = s1 if f == s2 else s2
+                        col_full = colA if f == s2 else colB
+                        col_fr = colB if f == s2 else colA
+                        src = ("rows", base_slot + slot_off)
+                        st.slot_row = {base_slot: 0}
+                        base_rows = 1
+                    plan.append(("defer_attach", mi, f + slot_off, src))
+                    cols.extend((col_full, col_fr))
+                    n_flags += 1
+                    st.mult_row = base_rows
+                    st.lv_row = base_rows + 1
+                    st.mat_rows = base_rows + 2
+                    st.defer_slot = f
+                    st.defer_col_join = col_fr
+                    k += 1
+                    continue
             # non-terminal case 1/2: stage ends at the probe
             if not j1 and not j2:
                 plan.append(("probe1", s1 + slot_off, s2 + slot_off))
@@ -414,22 +484,20 @@ class BatchExecutor:
                 cols.extend((cF, cG))
                 st.pending = ("attach", fresh)
             st.next_join = k + 1
-            return plan, cols, vals, layout, n_flags
+            return plan, cols, vals, sum_map, n_flags, False
 
         st.next_join = k
         st.pending = None
         if not st.terminal:
             # pipeline ended on a row-filter join (or no joins): plain
             # limb-sum projections over the materialized intermediate
-            for p in q.projections:
+            for idx, p in enumerate(q.projections):
                 row = st.slot_row.get(p.slot)
-                if row is None:
-                    layout.append(0)
-                else:
+                if row is not None:
                     plan.append(("project", mi, row))
                     cols.append(cat.col(q.slots[p.slot], p.col))
-                    layout.append("limb")
-        return plan, cols, vals, layout, n_flags
+                    sum_map.append((idx, "limb"))
+        return plan, cols, vals, sum_map, n_flags, True
 
     _MAT_PLACEHOLDER_WIDTH = 1024
 
@@ -454,12 +522,11 @@ class BatchExecutor:
                 pi = len(probes_in)
                 probes_in.append(st.probe)
                 st.probe = None
-            p, c, v, layout, n_flags = self._plan_stage(st, opening,
-                                                        slot_off, mi, pi)
+            p, c, v, sum_map, n_flags, sums_done = self._plan_stage(
+                st, opening, slot_off, mi, pi)
             emits_probe = bool(p) and p[-1][0] in ("probe1", "probe2")
-            n_parts = sum(1 for e in layout if e != 0)
-            meta.append((st, slot_off, len(st.live_rows), mi, layout,
-                         n_flags, n_parts, emits_probe))
+            meta.append((st, slot_off, len(st.live_rows), mi, sum_map,
+                         sums_done, n_flags, emits_probe))
             plan.extend(p)
             cols.extend(c)
             vals.extend(v)
@@ -477,7 +544,7 @@ class BatchExecutor:
         slot_new = dict(zip(t_slots, zip(lr, lc)))
         mat_new = dict(zip(t_mats, zip(mats, ics)))
         fi = pi_out = qi = 0
-        for (st, slot_off, n_slots, mi, layout, n_flags, n_parts,
+        for (st, slot_off, n_slots, mi, sum_map, sums_done, n_flags,
              emits_probe) in meta:
             for i in range(n_slots):
                 upd = slot_new.get(slot_off + i)
@@ -488,10 +555,14 @@ class BatchExecutor:
                 st.mat, st.icount = upd
             st.flags.extend(flags[fi:fi + n_flags])
             fi += n_flags
-            parts = iter(partials[qi:qi + n_parts])
-            qi += n_parts
-            for entry in layout:
-                st.sums.append(0 if entry == 0 else (entry, next(parts)))
+            if sums_done:
+                sums = [0] * len(st.q.projections)
+                for (idx, kind) in sum_map:
+                    sums[idx] = (kind, partials[qi])
+                    qi += 1
+                st.sums.extend(sums)
+            else:
+                assert not sum_map
             if emits_probe:
                 st.probe = probes_out[pi_out]
                 pi_out += 1
@@ -577,7 +648,8 @@ class BatchExecutor:
 
         combiners = {"limb": combine_limb_partials,
                      "weighted": combine_weighted_partials,
-                     "fresh": combine_fresh_partials}
+                     "fresh": combine_fresh_partials,
+                     "fresh_w": combine_fresh_w_partials}
         results: List[Optional[List[int]]] = []
         fi = pi = 0
         for st in states:

@@ -31,8 +31,15 @@ indexes the probes consumed by expansions):
   ("expand_pair", pi, mi, s1, s2, out)   case-1 expansion into mats[mi]
   ("expand_attach", pi, mi, fresh, out)  case-2 expansion of mats[mi]
   ("terminal", mi, ex_kind, (fresh_slot, rows_slot), full_row,
-   proj_specs, n_cols)                   fused terminal join + SUMs
+   proj_specs, n_cols, mult_row)         fused terminal join + SUMs
   ("project", mi, row)                   non-terminal projection (limb sum)
+  ("defer_attach", mi, fresh, src)       deferred middle attach: no
+      expansion — rows gain a `mult` row (match counts) and an `lv` row
+      (full-side values), zero-mult rows compact away. src is
+      ("mat", full_row) | ("rows", slot). Folds a middle join into the
+      terminal stage: no readback boundary at all.
+  ("project_defer", mi, full_row, tf_slot, lv_row, d_slot)
+      projection on a deferred slot: terminal-count-weighted T-table sum
 
 Column operands arrive in `cols` in plan order; filter constants in
 `vals`.
@@ -50,9 +57,11 @@ from .aggregate import _gather_partials
 from .backend import (_expand_attach_dense, _expand_pair_dense,
                       _probe_matrix_dense, _probe_rows_dense)
 from .chain import eq_filter_matrix, eq_filter_rows
+from .compact import compact_mask_positions
 from .filter import filter_full, filter_live
 from .join_dense import dense_any_common
-from .terminal import terminal_join_and_project
+from .terminal import (_dense_counts, _fresh_sum_weighted,
+                       terminal_join_and_project)
 
 
 def touched_state(plan):
@@ -61,7 +70,7 @@ def touched_state(plan):
     otherwise be materialized as program outputs (wasted HBM traffic)."""
     slots = sorted({op[1] for op in plan if op[0] in ("ffull", "flive")})
     mats = sorted({op[1] for op in plan
-                   if op[0] in ("eqrows", "eqmat")} |
+                   if op[0] in ("eqrows", "eqmat", "defer_attach")} |
                   {op[2] for op in plan
                    if op[0] in ("expand_pair", "expand_attach")})
     return tuple(slots), tuple(mats)
@@ -137,18 +146,56 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
                                             lr[fresh], out)
             ic[mi] = probes[pi][4]
         elif k == "terminal":
-            _, mi, ex_kind, ex_slots, full_row, proj_specs, n_cols = op
+            (_, mi, ex_kind, ex_slots, full_row, proj_specs, n_cols,
+             mult_row) = op
             col_full, col_fresh_join = cols[ci], cols[ci + 1]
             fresh_slot, rows_slot = ex_slots
             src = mats[mi] if ex_kind == "mat" else lr[rows_slot]
             cnt = ic[mi] if ex_kind == "mat" else lc[rows_slot]
             pc = tuple(cols[ci + 2:ci + 2 + n_cols])
             ci += 2 + n_cols
+            mult = mats[mi][mult_row] if mult_row is not None else None
             total, outs = terminal_join_and_project(
                 src, cnt, lr[fresh_slot], lc[fresh_slot], col_full,
-                col_fresh_join, pc, (ex_kind, full_row, proj_specs), domain)
+                col_fresh_join, pc, (ex_kind, full_row, proj_specs), domain,
+                mult=mult)
             flags.append(total == 0)
             partials.extend(outs)
+        elif k == "defer_attach":
+            _, mi, fresh, src = op
+            col_full, col_fresh_join = cols[ci], cols[ci + 1]
+            ci += 2
+            if src[0] == "mat":
+                lv = col_full[mats[mi][src[1]]]
+                cnt = ic[mi]
+                base = mats[mi]
+            else:
+                lv = col_full[lr[src[1]]]
+                cnt = lc[src[1]]
+                base = lr[src[1]][None]
+            counts, lvm = _dense_counts(lv, cnt, col_fresh_join[lr[fresh]],
+                                        lc[fresh], domain)
+            flags.append(jnp.sum(counts) == 0)   # empty pair set -> NULL
+            n = counts.shape[0]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+            keep = (idx < cnt) & (counts > 0)
+            pos, ncnt = compact_mask_positions(keep)
+            stacked = jnp.concatenate([base, counts[None], lvm[None]],
+                                      axis=0)
+            mats[mi] = jnp.zeros_like(stacked).at[:, pos].set(stacked,
+                                                             mode="drop")
+            ic[mi] = ncnt
+        elif k == "project_defer":
+            _, mi, full_row, tf_slot, lv_row, d_slot = op
+            col_full_t, col_join_tf = cols[ci], cols[ci + 1]
+            col_join_d, col_proj = cols[ci + 2], cols[ci + 3]
+            ci += 4
+            counts_t, _ = _dense_counts(col_full_t[mats[mi][full_row]],
+                                        ic[mi], col_join_tf[lr[tf_slot]],
+                                        lc[tf_slot], domain)
+            partials.append(_fresh_sum_weighted(
+                col_proj, col_join_d, lr[d_slot], lc[d_slot],
+                mats[mi][lv_row], counts_t, ic[mi], domain))
         elif k == "project":
             _, mi, row = op
             partials.append(_gather_partials(cols[ci], mats[mi][row],

@@ -122,10 +122,44 @@ def terminal_sum_fresh(col_proj, col_join, fresh_rows, fresh_cnt,
                            lvm, icount, domain)
 
 
+def _fresh_sum_weighted(col_proj, col_join, fresh_rows, fresh_cnt,
+                        lvm, weights, icount, domain):
+    """sum over existing rows e of weights[e] * T[lvm[e]] — the
+    multiplicity-weighted fresh-side reduction (used when a deferred
+    middle attach left a `mult` row). Returns (3, 5, m) int32 partials
+    (per 11-bit T channel, weighted_partials layout)."""
+    R = fresh_rows.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+    live_r = ri < fresh_cnt
+    key = jnp.where(live_r, col_join[fresh_rows], np.int32(domain))
+    pv = jnp.where(live_r, col_proj[fresh_rows], 0)
+    limbs = [pv & 0x7FF, (pv >> _L0) & 0x7FF, pv >> (_L0 + _L1)]
+    L = lvm.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    live_l = (li < icount) & (lvm >= 0)
+    lv_safe = jnp.clip(lvm, 0, domain - 1)
+    outs = []
+    for limb in limbs:
+        t = jnp.zeros(domain, jnp.int32).at[key].add(limb, mode="drop")
+        g = jnp.where(live_l, t[lv_safe], 0)          # entries < 2**27
+        outs.append(weighted_partials(g, weights, icount))
+    return jnp.stack(outs)
+
+
+def combine_fresh_w_partials(partials: np.ndarray) -> int:
+    """Host combiner for _fresh_sum_weighted output (3, 5, m)."""
+    from ..utils.limbs import combine_weighted_partials
+    p = np.asarray(partials)
+    total = 0
+    for c, shift in enumerate((0, _L0, _L0 + _L1)):
+        total += combine_weighted_partials(p[c]) << shift
+    return total & _U64_MASK
+
+
 @partial(jax.jit, static_argnames=("plan", "domain"))
 def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
                               col_full, col_join_fresh, proj_cols,
-                              plan, domain):
+                              plan, domain, mult=None):
     """ONE compiled program for the whole terminal join: dense count probe
     + every projection's reduction. Dispatch count is the dominant cost of
     the workload on a remote-attached chip (~2-7 ms per call), so the
@@ -136,8 +170,14 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
     full side's rowids (ignored for "rows"), and proj_specs is a tuple of
     ("fresh",) | ("mat", row) | ("rows",) aligned with proj_cols.
 
+    `mult` (optional): per-existing-row multiplicity from a deferred
+    middle attach; weighted sums then use counts*mult (bounded by the
+    final row count < 2**31) and fresh sums become mult-weighted
+    ("fresh_w" partials).
+
     Returns (total, tuple of per-projection partials) — total==0 is the
-    deferred NULL flag; partial kinds are "fresh"/"weighted" per spec.
+    deferred NULL flag; partial kinds are "fresh"/"fresh_w"/"weighted"
+    per spec and mult.
     """
     ex_kind, full_row, proj_specs = plan
     if ex_kind == "mat":
@@ -147,16 +187,22 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
     counts, lvm = _dense_counts(lv, icount, col_join_fresh[fresh_rows],
                                 fresh_cnt, domain)
     total = jnp.sum(counts)
+    weight = counts if mult is None else counts * mult
     outs = []
     for spec, col in zip(proj_specs, proj_cols):
         if spec[0] == "fresh":
-            outs.append(_fresh_sum_body(col, col_join_fresh, fresh_rows,
-                                        fresh_cnt, lvm, icount, domain))
+            if mult is None:
+                outs.append(_fresh_sum_body(col, col_join_fresh, fresh_rows,
+                                            fresh_cnt, lvm, icount, domain))
+            else:
+                outs.append(_fresh_sum_weighted(col, col_join_fresh,
+                                                fresh_rows, fresh_cnt, lvm,
+                                                mult, icount, domain))
         elif spec[0] == "mat":
-            outs.append(weighted_partials(col[ex_source[spec[1]]], counts,
+            outs.append(weighted_partials(col[ex_source[spec[1]]], weight,
                                           icount))
         else:  # "rows"
-            outs.append(weighted_partials(col[ex_source], counts, icount))
+            outs.append(weighted_partials(col[ex_source], weight, icount))
     return total, tuple(outs)
 
 
