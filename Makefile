@@ -2,15 +2,20 @@
 PY ?= python
 SMALL ?= /root/reference/small
 
-.PHONY: all native test run bench clean
+.PHONY: all native test test-all run bench clean
 
 all: native
 
 native:
 	$(MAKE) -C radixhashjoin_tpu/runtime/native
 
+# fast default suite (slow-marked end-to-end/SPMD tests deselected, pytest.ini)
 test:
 	$(PY) -m pytest tests/ -q
+
+# the whole suite, including slow golden/SPMD tests (CI target)
+test-all:
+	$(PY) -m pytest tests/ -q -m ""
 
 # the reference's golden benchmark contract: init+work on stdin, diff stdout
 run: native

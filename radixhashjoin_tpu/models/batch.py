@@ -604,8 +604,6 @@ class BatchExecutor:
                 self._run_round(chunk, openings)
         return self._final_sweep(states)
 
-        return self._final_sweep(states)
-
     # ---- per-op driver (sort backend / fusion off) ----
 
     def run_batch(self, queries: Sequence[Query]) -> List[Optional[List[int]]]:

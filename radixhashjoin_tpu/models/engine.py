@@ -64,13 +64,14 @@ class Engine:
             return reorder_joins(q, self.relations)
         return q
 
-    def run_batch(self, batch: Sequence[Query]) -> List[str]:
+    def run_batch_raw(self, batch: Sequence[Query]
+                      ) -> List[Optional[List[int]]]:
         """One query batch, wave-parallel on device (models/batch.py) —
         the TPU-native analog of the reference executing every query of a
-        batch concurrently on its thread pool (join.cpp:42-49)."""
+        batch concurrently on its thread pool (join.cpp:42-49). Returns
+        per-query sums (None = NULL line), unformatted."""
         if self.config.force_oracle or not self.config.batch_execution:
-            return [format_result(self.execute(q), len(q.projections))
-                    for q in batch]
+            return [self.execute(q) for q in batch]
         batch = [self._plan(q) for q in batch]
         device_idx = [i for i, q in enumerate(batch)
                       if self.executor.narrow_ok(q)]
@@ -82,21 +83,32 @@ class Engine:
         for i, q in enumerate(batch):
             if i not in device_idx:
                 out[i] = self._oracle.execute(q)
+        return out
+
+    def run_batch(self, batch: Sequence[Query]) -> List[str]:
+        out = self.run_batch_raw(batch)
         return [format_result(out[i], len(q.projections))
                 for i, q in enumerate(batch)]
 
-    def run_workload(self, batches: Sequence[Sequence[Query]]) -> List[str]:
+    def run_workload_raw(self, batches: Sequence[Sequence[Query]]
+                         ) -> List[Optional[List[int]]]:
         """All batches at once: batch framing is parse-level only — the
         reference also schedules every query of every batch before printing
         (join.cpp:42-55, SURVEY.md §8.11). One mega-batch maximizes wave
         width and minimizes readbacks."""
         if self.config.batch_execution and len(batches) > 1:
             flat = [q for batch in batches for q in batch]
-            return self.run_batch(flat)
-        out: List[str] = []
+            return self.run_batch_raw(flat)
+        out: List[Optional[List[int]]] = []
         for batch in batches:
-            out.extend(self.run_batch(batch))
+            out.extend(self.run_batch_raw(batch))
         return out
+
+    def run_workload(self, batches: Sequence[Sequence[Query]]) -> List[str]:
+        raw = self.run_workload_raw(batches)
+        queries = [q for batch in batches for q in batch]
+        return [format_result(r, len(q.projections))
+                for r, q in zip(raw, queries)]
 
 
 _LAST_ENGINE: Optional[Engine] = None
@@ -108,7 +120,8 @@ def main(stdin: TextIO = None, stdout: TextIO = None,
     relation paths until `Done`, then query batches (`F`-terminated), then
     one result line per query in input order (join.cpp:11-62).
     """
-    from ..runtime import parse_work_native, native_available
+    from ..runtime import (format_results_native, parse_work_native,
+                           native_available)
 
     global _LAST_ENGINE
     stdin = stdin or sys.stdin
@@ -131,5 +144,10 @@ def main(stdin: TextIO = None, stdout: TextIO = None,
         print(f"radixhashjoin_tpu: malformed work stream: {e}",
               file=sys.stderr)
         raise SystemExit(1)
-    for line in engine.run_workload(batches):
-        stdout.write(line + "\n")
+    if config.use_native_runtime and native_available():
+        raw = engine.run_workload_raw(batches)
+        proj_counts = [len(q.projections) for b in batches for q in b]
+        stdout.write(format_results_native(raw, proj_counts))
+    else:
+        for line in engine.run_workload(batches):
+            stdout.write(line + "\n")

@@ -13,6 +13,9 @@ import pytest
 from radixhashjoin_tpu.parallel import (dist_join_count_sum,
                                         dist_join_skewaware, make_mesh)
 
+# SPMD CPU compiles dominate (minutes); deselected from the default run
+pytestmark = pytest.mark.slow
+
 
 def _oracle(lv, rv):
     cnt = collections.Counter(rv.tolist())
