@@ -34,8 +34,7 @@ from ..config import EngineConfig, DEFAULT
 from ..ops.aggregate import gather_partials_matrix
 from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
-from ..ops.filter import (OP_CODE, filter_full, filter_live,
-                          narrow_filter_value)
+from ..ops.filter import filter_full, filter_live
 from ..ops.stage import run_stage, touched_state
 from ..ops.terminal import (combine_fresh_partials,
                             combine_fresh_w_partials,
@@ -45,6 +44,8 @@ from ..utils.limbs import combine_limb_partials, combine_weighted_partials
 from ..utils.profiling import OpProfiler, arr_bytes
 from ..workload import Query
 from .device_catalog import DeviceCatalog
+
+_U64_MASK = (1 << 64) - 1
 
 
 class _QState:
@@ -64,7 +65,10 @@ class _QState:
         self.flags: List[jax.Array] = []       # device bools, OR'd at the end
         self.probe = None
         self.fresh_slot = None
-        self.sums: List[object] = []           # 0 or (kind, partials array)
+        # per projection: list of (kind, partials array, plane shift);
+        # empty list = never-joined slot (sum 0). Wide (u64) projection
+        # columns contribute one entry per 16-bit plane.
+        self.sums: List[list] = []
         self.terminal = False                  # last join ran fused+factorized
         # fused-stage bookkeeping (host mirrors of static structure)
         self.next_join = 0
@@ -79,8 +83,9 @@ class _QState:
 
 class BatchExecutor:
     def __init__(self, relations: Sequence[Relation],
-                 config: EngineConfig = DEFAULT):
-        self.catalog = DeviceCatalog(relations, config)
+                 config: EngineConfig = DEFAULT,
+                 catalog: Optional[DeviceCatalog] = None):
+        self.catalog = catalog or DeviceCatalog(relations, config)
         self.config = config
         self.profiler = OpProfiler(config.profile)
         kind = config.join_backend
@@ -101,22 +106,20 @@ class BatchExecutor:
         pristine = set(range(len(q.slots)))
         for f in q.filters:
             col = cat.col(q.slots[f.slot], f.col)
+            opc, const = cat.encode_filter(f.op, f.value)
             if f.slot in pristine:
                 # first filter on the slot: scan the column directly
                 n = cat.relations[q.slots[f.slot]].num_tuples
                 rows, cnt = self.profiler.record(
                     "filter",
-                    filter_full(col, np.int32(n),
-                                narrow_filter_value(f.op, f.value),
-                                OP_CODE[f.op], cat.bucket(n)),
+                    filter_full(col, np.int32(n), const, opc, cat.bucket(n)),
                     arr_bytes(col) * 2)
                 pristine.discard(f.slot)
             else:
                 rows, cnt = self.profiler.record(
                     "filter",
                     filter_live(st.live_rows[f.slot], st.live_cnt[f.slot],
-                                col, narrow_filter_value(f.op, f.value),
-                                OP_CODE[f.op]),
+                                col, const, opc),
                     arr_bytes(st.live_rows[f.slot], col) * 2)
             st.live_rows[f.slot], st.live_cnt[f.slot] = rows, cnt
             st.flags.append(cnt == 0)   # device bool; NULL if ever true
@@ -194,23 +197,23 @@ class BatchExecutor:
                 ex_source = st.mat
                 icount = st.icount
 
-            specs, cols, zero_mask = [], [], []
+            specs, cols, shifts, plane_n = [], [], [], []
             for p in q.projections:
-                col = cat.col(q.slots[p.slot], p.col)
                 if p.slot == fresh:
-                    specs.append(("fresh",))
-                    cols.append(col)
-                    zero_mask.append(False)
+                    spec = ("fresh",)
                 elif ex_kind == "mat" and p.slot in st.slot_row:
-                    specs.append(("mat", st.slot_row[p.slot]))
-                    cols.append(col)
-                    zero_mask.append(False)
+                    spec = ("mat", st.slot_row[p.slot])
                 elif ex_kind == "rows" and p.slot == ex_slot:
-                    specs.append(("rows",))
-                    cols.append(col)
-                    zero_mask.append(False)
+                    spec = ("rows",)
                 else:
-                    zero_mask.append(True)
+                    plane_n.append(0)
+                    continue
+                planes = cat.proj_planes(q.slots[p.slot], p.col)
+                plane_n.append(len(planes))
+                for plane, sh in planes:
+                    specs.append(spec)
+                    cols.append(plane)
+                    shifts.append(sh)
 
             plan = (ex_kind, full_row, tuple(specs))
             total, outs = self.profiler.record(
@@ -221,14 +224,15 @@ class BatchExecutor:
                     plan, domain),
                 arr_bytes(ex_source, st.live_rows[fresh]) * 3)
             st.flags.append(total == 0)
-            it = iter(zip(specs, outs))
-            for z in zero_mask:
-                if z:
-                    st.sums.append(0)
-                else:
-                    spec, arr = next(it)
-                    kind = "fresh" if spec[0] == "fresh" else "weighted"
-                    st.sums.append((kind, arr))
+            oi = 0
+            for npl in plane_n:
+                parts = []
+                for _ in range(npl):
+                    kind = ("fresh" if specs[oi][0] == "fresh"
+                            else "weighted")
+                    parts.append((kind, outs[oi], shifts[oi]))
+                    oi += 1
+                st.sums.append(parts)
             st.terminal = True
             return False
 
@@ -292,16 +296,18 @@ class BatchExecutor:
             return
         cat = self.catalog
         for p in st.q.projections:
-            col = cat.col(st.q.slots[p.slot], p.col)
             row = st.slot_row.get(p.slot)
             if row is None:
-                st.sums.append(0)
-            else:
-                st.sums.append(("limb", self.profiler.record(
+                st.sums.append([])
+                continue
+            parts = []
+            for plane, sh in cat.proj_planes(st.q.slots[p.slot], p.col):
+                parts.append(("limb", self.profiler.record(
                     "aggregate",
-                    gather_partials_matrix(col, st.mat, np.int32(row),
+                    gather_partials_matrix(plane, st.mat, np.int32(row),
                                            st.icount),
-                    arr_bytes(st.mat[0]) * 2)))
+                    arr_bytes(st.mat[0]) * 2), sh))
+            st.sums.append(parts)
 
     # ---- fused-stage planner + grouped driver (dense backend) ----
 
@@ -323,15 +329,16 @@ class BatchExecutor:
             pristine = set(range(len(q.slots)))
             for f in q.filters:
                 col = cat.col(q.slots[f.slot], f.col)
+                opc, const = cat.encode_filter(f.op, f.value)
                 if f.slot in pristine:
                     n = cat.relations[q.slots[f.slot]].num_tuples
-                    plan.append(("ffull", f.slot + slot_off, OP_CODE[f.op],
+                    plan.append(("ffull", f.slot + slot_off, opc,
                                  cat.bucket(n)))
                     pristine.discard(f.slot)
                 else:
-                    plan.append(("flive", f.slot + slot_off, OP_CODE[f.op]))
+                    plan.append(("flive", f.slot + slot_off, opc))
                 cols.append(col)
-                vals.append(narrow_filter_value(f.op, f.value))
+                vals.append(const)
                 n_flags += 1
         if opening is not None:
             kind, out_size = opening
@@ -394,11 +401,13 @@ class BatchExecutor:
                 for idx, p in enumerate(q.projections):
                     spec = nz.get(p.slot)
                     if spec is not None:
-                        specs.append(spec)
-                        pcols.append(cat.col(q.slots[p.slot], p.col))
-                        sum_map.append((idx, fresh_kind
-                                        if spec[0] == "fresh"
-                                        else "weighted"))
+                        for plane, sh in cat.proj_planes(q.slots[p.slot],
+                                                         p.col):
+                            specs.append(spec)
+                            pcols.append(plane)
+                            sum_map.append((idx, fresh_kind
+                                            if spec[0] == "fresh"
+                                            else "weighted", sh))
                     elif (st.mult_row is not None
                           and p.slot == st.defer_slot):
                         defer_projs.append((idx, p))
@@ -411,13 +420,15 @@ class BatchExecutor:
                 n_flags += 1
                 for idx, p in defer_projs:
                     # projection on the deferred slot: terminal-count-
-                    # weighted sum over that slot's value table
-                    plan.append(("project_defer", mi, full_row,
-                                 fresh + slot_off, st.lv_row,
-                                 st.defer_slot + slot_off))
-                    cols.extend((col_full, col_fresh, st.defer_col_join,
-                                 cat.col(q.slots[p.slot], p.col)))
-                    sum_map.append((idx, "fresh_w"))
+                    # weighted sum over that slot's value table(s)
+                    for plane, sh in cat.proj_planes(q.slots[p.slot],
+                                                     p.col):
+                        plan.append(("project_defer", mi, full_row,
+                                     fresh + slot_off, st.lv_row,
+                                     st.defer_slot + slot_off))
+                        cols.extend((col_full, col_fresh,
+                                     st.defer_col_join, plane))
+                        sum_map.append((idx, "fresh_w", sh))
                 st.terminal = True
                 k += 1
                 continue
@@ -494,9 +505,11 @@ class BatchExecutor:
             for idx, p in enumerate(q.projections):
                 row = st.slot_row.get(p.slot)
                 if row is not None:
-                    plan.append(("project", mi, row))
-                    cols.append(cat.col(q.slots[p.slot], p.col))
-                    sum_map.append((idx, "limb"))
+                    for plane, sh in cat.proj_planes(q.slots[p.slot],
+                                                     p.col):
+                        plan.append(("project", mi, row))
+                        cols.append(plane)
+                        sum_map.append((idx, "limb", sh))
         return plan, cols, vals, sum_map, n_flags, True
 
     _MAT_PLACEHOLDER_WIDTH = 1024
@@ -556,9 +569,9 @@ class BatchExecutor:
             st.flags.extend(flags[fi:fi + n_flags])
             fi += n_flags
             if sums_done:
-                sums = [0] * len(st.q.projections)
-                for (idx, kind) in sum_map:
-                    sums[idx] = (kind, partials[qi])
+                sums = [[] for _ in st.q.projections]
+                for (idx, kind, shift) in sum_map:
+                    sums[idx].append((kind, partials[qi], shift))
                     qi += 1
                 st.sums.extend(sums)
             else:
@@ -634,8 +647,8 @@ class BatchExecutor:
                      ) -> List[Optional[List[int]]]:
         # final sweep: ONE readback for all flags + all partials
         all_flags = [f for st in states if not st.null for f in st.flags]
-        parts = [s[1].reshape(-1) for st in states if not st.null
-                 for s in st.sums if not isinstance(s, int)]
+        parts = [e[1].reshape(-1) for st in states if not st.null
+                 for s in st.sums for e in s]
         pieces = ([jnp.stack(all_flags).astype(jnp.int32)] if all_flags
                   else []) + parts
         combined = (np.asarray(jnp.concatenate(pieces)) if pieces
@@ -658,13 +671,12 @@ class BatchExecutor:
             fi += len(st.flags)
             sums: List[int] = []
             for s in st.sums:
-                if isinstance(s, int):
-                    sums.append(s)
-                else:
-                    kind, arr = s
+                total = 0
+                for kind, arr, shift in s:
                     m = arr.size
-                    sums.append(combiners[kind](
-                        parts_np[pi:pi + m].reshape(arr.shape)))
+                    total += combiners[kind](
+                        parts_np[pi:pi + m].reshape(arr.shape)) << shift
                     pi += m
+                sums.append(total & _U64_MASK)
             results.append(None if nulled else sums)
         return results

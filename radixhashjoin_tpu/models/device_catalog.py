@@ -1,25 +1,48 @@
 """Device-resident column catalog shared by the executors.
 
-Columns upload once (int32 narrow path) and are reused by every query —
-the reference instead re-materializes per-join tuple arrays
-(structs.cpp:217-243); on TPU the relation lives in HBM for the process
-lifetime and joins address it with rowid gathers.
+Columns upload once and are reused by every query — the reference instead
+re-materializes per-join tuple arrays (structs.cpp:217-243); on TPU the
+relation lives in HBM for the process lifetime and joins address it with
+rowid gathers.
+
+Wide (u64) values — the reference processes full-u64 columns natively
+(structs.h:11-22, structs.cpp:28-39) while TPU vector lanes are 32-bit —
+are handled by an order-preserving global dictionary encoding:
+
+* join/filter columns on device are dense int32 CODES into one sorted
+  unique-value array covering the whole catalog. Equality of codes ==
+  equality of values (global dictionary), and code order == value order,
+  so strict <, >, = filter constants translate exactly
+  (``encode_filter``). As a bonus the code domain is dense, so the dense
+  direct-address join backend works for arbitrary u64 data.
+* projection SUMs need original values: each projected column is summed as
+  up to four 16-bit planes (``proj_planes``), each plane riding the
+  existing exact int32 limb reductions unchanged; the host combines plane
+  totals with shifts (mod 2**64).
+
+When every column already fits int32 (SIGMOD-contest-shaped data), the
+encoding is skipped entirely — codes ARE the values and nothing changes on
+the fast path.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import EngineConfig, DEFAULT
 from ..storage import Relation
 from ..utils.padding import bucket_size
 
-# Values the narrow (int32-lane) device path can represent: the right-side
-# join sentinel is INT32_MAX (ops/join.py), so data must stay strictly below.
+# Values the identity (no-dictionary) device path can represent: the
+# right-side join sentinel is INT32_MAX (ops/join.py), so data must stay
+# strictly below.
 NARROW_MAX = 2**31 - 2
+
+_INT32_MAX = 2**31 - 1
 
 
 class DeviceCatalog:
@@ -28,14 +51,92 @@ class DeviceCatalog:
         self.relations = relations
         self.config = config
         self._cols: Dict[tuple, jax.Array] = {}
+        self._planes: Dict[tuple, list] = {}
         self._iota: Dict[int, jax.Array] = {}
+        # order-preserving global dictionary (built only if any column is
+        # wide); None => identity encoding (codes are the values)
+        self.dict_vals: Optional[np.ndarray] = None
+        if any(s.max > NARROW_MAX for rel in relations for s in rel.stats):
+            self._build_dictionary()
+
+    # ---- dictionary ----
+
+    def _build_dictionary(self) -> None:
+        uniques = [np.unique(col) for rel in self.relations
+                   for col in rel.values if len(col)]
+        dv = (np.unique(np.concatenate(uniques)) if uniques
+              else np.zeros(0, np.uint64))
+        if len(dv) > NARROW_MAX:
+            raise ValueError(
+                f"catalog has {len(dv)} distinct values; the int32 code "
+                f"space caps at {NARROW_MAX}")
+        self.dict_vals = dv
 
     def col(self, rel_id: int, col: int) -> jax.Array:
+        """Join/filter column on device: int32 values (identity) or codes."""
         key = (rel_id, col)
         if key not in self._cols:
-            host = self.relations[rel_id].narrow_column(col)
+            if self.dict_vals is None:
+                host = self.relations[rel_id].narrow_column(col)
+            else:
+                host = np.searchsorted(
+                    self.dict_vals,
+                    self.relations[rel_id].values[col]).astype(np.int32)
             self._cols[key] = jax.device_put(host)
         return self._cols[key]
+
+    def encode_filter(self, op: str, value: int) -> Tuple[int, np.int32]:
+        """Map a filter (op, u64 constant) onto the device code space.
+
+        Returns (opcode, int32 constant) such that applying the strict
+        comparison to device codes selects exactly the rows whose original
+        value satisfies the original predicate (Query.cpp:91-146 semantics).
+        """
+        from ..ops.filter import OP_CODE
+        opc = OP_CODE[op]
+        if self.dict_vals is None:
+            if value <= _INT32_MAX - 1:
+                return opc, np.int32(value)
+            if op == "=":
+                return opc, np.int32(-1)          # no narrow value matches
+            return opc, np.int32(_INT32_MAX)      # < huge: all; > huge: none
+        dv = self.dict_vals
+        v = np.uint64(min(value, 2**64 - 1))
+        lb = int(np.searchsorted(dv, v, side="left"))
+        if op == "=":
+            present = lb < len(dv) and dv[lb] == v
+            return opc, np.int32(lb if present else -1)
+        if op == "<":
+            return opc, np.int32(lb)              # value < K  <=>  code < lb
+        rb = int(np.searchsorted(dv, v, side="right"))
+        return opc, np.int32(rb - 1)              # value > K  <=>  code > rb-1
+
+    def proj_planes(self, rel_id: int, col: int):
+        """[(device plane column, shift)] whose shifted sums add up to the
+        exact u64 SUM of the original column. One identity plane when the
+        column fits int32; otherwise 16-bit planes (each plane rides the
+        existing int32 limb reductions unchanged)."""
+        key = (rel_id, col)
+        if key not in self._planes:
+            rel = self.relations[rel_id]
+            if self.dict_vals is None:
+                # identity encoding: the join/filter column IS the values
+                self._planes[key] = [(self.col(rel_id, col), 0)]
+            elif rel.stats[col].max <= _INT32_MAX:
+                self._planes[key] = [(jax.device_put(
+                    rel.values[col].astype(np.int32)), 0)]
+            else:
+                host = rel.values[col]
+                hi = int(rel.stats[col].max).bit_length()
+                planes = []
+                for shift in range(0, hi, 16):
+                    p = ((host >> np.uint64(shift))
+                         & np.uint64(0xFFFF)).astype(np.int32)
+                    planes.append((jax.device_put(p), shift))
+                self._planes[key] = planes
+        return self._planes[key]
+
+    # ---- shared helpers ----
 
     def iota(self, size: int) -> jax.Array:
         if size not in self._iota:
@@ -45,22 +146,20 @@ class DeviceCatalog:
     def bucket(self, n: int) -> int:
         return bucket_size(n, self.config.min_pad, self.config.pad_base)
 
-    def narrow_ok(self, rel_ids) -> bool:
-        for rel_id in rel_ids:
-            rel = self.relations[rel_id]
-            if any(s.max > NARROW_MAX for s in rel.stats):
-                return False
-        return True
-
     @property
     def domain(self) -> int:
-        """Power-of-two bound > every column value across the catalog, for
-        the dense join backend's direct-address tables."""
+        """Power-of-two bound > every device column value (codes when the
+        dictionary is active), for the dense join backend's direct-address
+        tables. Dictionary codes are dense, so wide data gets a dense
+        domain of size = #distinct values."""
         if not hasattr(self, "_domain"):
-            gmax = 0
-            for rel in self.relations:
-                for s in rel.stats:
-                    gmax = max(gmax, s.max)
+            if self.dict_vals is not None:
+                gmax = len(self.dict_vals) - 1
+            else:
+                gmax = 0
+                for rel in self.relations:
+                    for s in rel.stats:
+                        gmax = max(gmax, s.max)
             d = 1024
             while d <= gmax + 1:
                 d *= 2

@@ -30,8 +30,9 @@ class Engine:
                  config: EngineConfig = DEFAULT):
         self.relations = list(relations)
         self.config = config
-        self.executor = JaxExecutor(self.relations, config)
         self.batch_executor = BatchExecutor(self.relations, config)
+        self.executor = JaxExecutor(self.relations, config,
+                                    catalog=self.batch_executor.catalog)
         self._oracle = OracleExecutor(self.relations)
 
     @classmethod
@@ -46,13 +47,13 @@ class Engine:
     def execute(self, q: Query) -> Optional[List[int]]:
         """One query -> projection sums or None (NULL line).
 
-        Columns with values above the int32 narrow path (>= 2**31 - 1) fall
-        back to the NumPy oracle executor — same validated semantics, host
-        execution. The small workload and any SIGMOD-contest-shaped data
-        (values < 2**18) always take the device path.
+        Full-u64 columns run on device via the catalog's order-preserving
+        dictionary encoding (models/device_catalog.py) — matching the
+        reference's native u64 capability (structs.h:11-22) with int32
+        device lanes. The oracle runs only under force_oracle (debug).
         """
         q = self._plan(q)
-        if self.config.force_oracle or not self.executor.narrow_ok(q):
+        if self.config.force_oracle:
             return self._oracle.execute(q)
         return self.executor.execute(q)
 
@@ -72,18 +73,7 @@ class Engine:
         per-query sums (None = NULL line), unformatted."""
         if self.config.force_oracle or not self.config.batch_execution:
             return [self.execute(q) for q in batch]
-        batch = [self._plan(q) for q in batch]
-        device_idx = [i for i, q in enumerate(batch)
-                      if self.executor.narrow_ok(q)]
-        out: List[Optional[List[int]]] = [None] * len(batch)
-        if device_idx:
-            got = self.batch_executor.run_batch([batch[i] for i in device_idx])
-            for i, r in zip(device_idx, got):
-                out[i] = r
-        for i, q in enumerate(batch):
-            if i not in device_idx:
-                out[i] = self._oracle.execute(q)
-        return out
+        return self.batch_executor.run_batch([self._plan(q) for q in batch])
 
     def run_batch(self, batch: Sequence[Query]) -> List[str]:
         out = self.run_batch_raw(batch)

@@ -31,15 +31,13 @@ import numpy as np
 from ..config import EngineConfig, DEFAULT
 from ..ops.aggregate import sum_column_over_rows
 from ..ops.compact import compact, compact_mask_positions
-from ..ops.filter import OP_CODE, filter_live, narrow_filter_value
 from ..ops.join import any_common, expand_pairs, probe_count
+from ..ops.filter import filter_live
 from ..storage import Relation
-from ..utils.padding import bucket_size
 from ..workload import Query
+from .device_catalog import DeviceCatalog
 
-# Values the narrow (int32-lane) device path can represent: the right-side
-# join sentinel is INT32_MAX (ops/join.py), so data must stay strictly below.
-NARROW_MAX = 2**31 - 2
+_U64_MASK = (1 << 64) - 1
 
 
 @jax.jit
@@ -74,38 +72,24 @@ class JaxExecutor:
     """
 
     def __init__(self, relations: Sequence[Relation],
-                 config: EngineConfig = DEFAULT):
+                 config: EngineConfig = DEFAULT,
+                 catalog: DeviceCatalog = None):
         self.relations = relations
         self.config = config
-        self._cols: Dict[tuple, jax.Array] = {}     # (rel_id, col) -> device
-        self._iota: Dict[int, jax.Array] = {}       # padded size -> arange
+        self.catalog = catalog or DeviceCatalog(relations, config)
 
-    # ---- device caches ----
+    # ---- device caches (shared DeviceCatalog: codes when the dictionary
+    # is active, raw int32 values otherwise) ----
 
     def _col(self, rel_id: int, col: int) -> jax.Array:
-        key = (rel_id, col)
-        if key not in self._cols:
-            host = self.relations[rel_id].narrow_column(col)
-            self._cols[key] = jax.device_put(host)
-        return self._cols[key]
+        return self.catalog.col(rel_id, col)
 
     def _all_rows(self, rel_id: int) -> _Live:
         n = self.relations[rel_id].num_tuples
-        size = self._bucket(n)
-        if size not in self._iota:
-            self._iota[size] = jnp.arange(size, dtype=jnp.int32)
-        return _Live(self._iota[size], n)
+        return _Live(self.catalog.iota(self._bucket(n)), n)
 
     def _bucket(self, n: int) -> int:
-        return bucket_size(n, self.config.min_pad, self.config.pad_base)
-
-    def narrow_ok(self, q: Query) -> bool:
-        """All columns the query touches fit the int32 device path."""
-        for rel_id in (q.slots[s] for s in range(len(q.slots))):
-            rel = self.relations[rel_id]
-            if any(s.max > NARROW_MAX for s in rel.stats):
-                return False
-        return True
+        return self.catalog.bucket(n)
 
     # ---- execution ----
 
@@ -118,9 +102,9 @@ class JaxExecutor:
         for f in q.filters:
             col = self._col(q.slots[f.slot], f.col)
             lv = live[f.slot]
+            opc, const = self.catalog.encode_filter(f.op, f.value)
             rows, cnt = filter_live(lv.rows, jnp.int32(lv.count), col,
-                                    narrow_filter_value(f.op, f.value),
-                                    OP_CODE[f.op])
+                                    const, opc)
             cnt = int(cnt)
             if cnt == 0:
                 return None
@@ -209,12 +193,18 @@ class JaxExecutor:
                 icount = total
 
         # 3. SUM projections with multiplicity, exact u64 (Query.cpp:66-74)
+        # — one limb-reduction per 16-bit plane of the original values
+        # (a single identity plane for int32-ranged columns)
         sums: List[int] = []
         for p in q.projections:
             rows = inter.get(p.slot)
             if rows is None or icount == 0:
                 sums.append(0)
             else:
-                col = self._col(q.slots[p.slot], p.col)
-                sums.append(sum_column_over_rows(col, rows, jnp.int32(icount)))
+                total = 0
+                for plane, shift in self.catalog.proj_planes(
+                        q.slots[p.slot], p.col):
+                    total += sum_column_over_rows(
+                        plane, rows, jnp.int32(icount)) << shift
+                sums.append(total & _U64_MASK)
         return sums

@@ -20,21 +20,9 @@ import numpy as np
 OP_EQ, OP_LT, OP_GT = 0, 1, 2
 OP_CODE = {"=": OP_EQ, "<": OP_LT, ">": OP_GT}
 
-_INT32_MAX = 2**31 - 1
-
-
-def narrow_filter_value(op: str, value: int) -> np.int32:
-    """Map a (possibly u64) filter constant onto the int32 device path.
-
-    Column values on the narrow path are <= 2**31 - 2, so constants beyond
-    int32 range fold to equivalents: `< K` / `> K` with huge K clamp to
-    INT32_MAX (all / none match), `= K` becomes -1 (no value matches).
-    """
-    if value <= _INT32_MAX - 1:
-        return np.int32(value)
-    if op == "=":
-        return np.int32(-1)
-    return np.int32(_INT32_MAX)
+# Filter constants are mapped onto the device code space by
+# DeviceCatalog.encode_filter (identity narrowing, or order-preserving
+# dictionary translation for wide catalogs).
 
 
 @partial(jax.jit, static_argnames=("op",))
