@@ -35,6 +35,7 @@ from ..ops.aggregate import gather_partials_matrix
 from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import filter_full, filter_live
+from ..ops.join import JoinCapacityError
 from ..ops.stage import run_stage, touched_state
 from ..ops.terminal import (combine_fresh_partials,
                             combine_fresh_w_partials,
@@ -216,14 +217,14 @@ class BatchExecutor:
                     shifts.append(sh)
 
             plan = (ex_kind, full_row, tuple(specs))
-            total, outs = self.profiler.record(
+            empty, outs = self.profiler.record(
                 "terminal",
                 terminal_join_and_project(
                     ex_source, icount, st.live_rows[fresh],
                     st.live_cnt[fresh], col_full, col_fresh, tuple(cols),
                     plan, domain),
                 arr_bytes(ex_source, st.live_rows[fresh]) * 3)
-            st.flags.append(total == 0)
+            st.flags.append(empty)
             oi = 0
             for npl in plane_n:
                 parts = []
@@ -264,6 +265,9 @@ class BatchExecutor:
 
     def _join_wave_expand(self, st: _QState, k: int, total: int) -> None:
         """Finish join k after its total came back (cases 1/2)."""
+        if total < 0:
+            raise JoinCapacityError(
+                f"join {k} of query exceeds 2**31-1 output pairs")
         if total == 0:
             st.null = True
             return
@@ -604,6 +608,9 @@ class BatchExecutor:
             live = []
             for st, total in zip(pend, totals):
                 total = int(total)
+                if total < 0:
+                    raise JoinCapacityError(
+                        "a join exceeds 2**31-1 output pairs")
                 if total == 0:
                     st.null = True
                     st.probe = None

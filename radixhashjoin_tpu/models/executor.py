@@ -31,7 +31,8 @@ import numpy as np
 from ..config import EngineConfig, DEFAULT
 from ..ops.aggregate import sum_column_over_rows
 from ..ops.compact import compact, compact_mask_positions
-from ..ops.join import any_common, expand_pairs, probe_count
+from ..ops.join import (JoinCapacityError, any_common, expand_pairs,
+                        probe_count)
 from ..ops.filter import filter_live
 from ..storage import Relation
 from ..workload import Query
@@ -150,6 +151,9 @@ class JaxExecutor:
                 order, lo, off, cum, total = probe_count(
                     lvals, jnp.int32(l.count), rvals, jnp.int32(r.count))
                 total = int(total)
+                if total < 0:
+                    raise JoinCapacityError(
+                        "join exceeds 2**31-1 output pairs")
                 if total == 0:
                     return None
                 li, ri = expand_pairs(order, lo, off, cum, self._bucket(total))
@@ -185,6 +189,9 @@ class JaxExecutor:
                     full_vals, jnp.int32(icount),
                     fresh_vals, jnp.int32(fresh.count))
                 total = int(total)
+                if total < 0:
+                    raise JoinCapacityError(
+                        "join exceeds 2**31-1 output pairs")
                 if total == 0:
                     return None
                 li, ri = expand_pairs(order, lo, off, cum, self._bucket(total))

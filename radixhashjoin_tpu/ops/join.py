@@ -30,6 +30,20 @@ import numpy as np
 RIGHT_SENTINEL = np.int32(2**31 - 1)
 
 
+class JoinCapacityError(RuntimeError):
+    """A single join's output exceeds 2**31 - 1 pairs (the int32 offset
+    space). The reference's paged lists have no such limit
+    (Result.cpp:21-35); the engine raises a diagnostic instead of silently
+    overflowing. Detection is exact: per-left counts are < 2**31, so the
+    int32 cumsum wraps through the negative band iff the true total does
+    not fit (probe totals then come back as -1)."""
+
+
+def _total_or_overflow(cum: jax.Array) -> jax.Array:
+    """cum[-1], or -1 if the int32 prefix sums overflowed 2**31 - 1."""
+    return jnp.where(jnp.any(cum < 0), np.int32(-1), cum[-1])
+
+
 @jax.jit
 def probe_count(lvals: jax.Array, lcount: jax.Array,
                 rvals: jax.Array, rcount: jax.Array):
@@ -40,7 +54,9 @@ def probe_count(lvals: jax.Array, lcount: jax.Array,
       lo      — int32[L] first match position of each left value in sorted right
       offsets — int32[L] exclusive cumsum of per-left match counts
       cum     — int32[L] inclusive cumsum (cum[-1] == total)
-      total   — int32 scalar: exact number of output pairs
+      total   — int32 scalar: exact number of output pairs, or -1 if the
+                join exceeds 2**31 - 1 pairs (callers raise
+                JoinCapacityError)
     """
     L, R = lvals.shape[0], rvals.shape[0]
     li = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
@@ -56,9 +72,8 @@ def probe_count(lvals: jax.Array, lcount: jax.Array,
                           method="sort").astype(jnp.int32)
     counts = hi - lo
     cum = jnp.cumsum(counts)
-    total = cum[-1]
     offsets = cum - counts
-    return order, lo, offsets, cum, total
+    return order, lo, offsets, cum, _total_or_overflow(cum)
 
 
 @partial(jax.jit, static_argnames=("out_size",))

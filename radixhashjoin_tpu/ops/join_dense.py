@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .join import _total_or_overflow
+
 
 @partial(jax.jit, static_argnames=("domain",))
 def dense_probe(lvals, lcount, rvals, rcount, domain: int):
@@ -49,8 +51,7 @@ def dense_probe(lvals, lcount, rvals, rcount, domain: int):
     counts = jnp.where(lv >= 0, t_cnt[lv_safe], 0)
     lo = t_lo[lv_safe]
     cum = jnp.cumsum(counts)
-    total = cum[-1]
-    return order, lo, cum - counts, cum, total
+    return order, lo, cum - counts, cum, _total_or_overflow(cum)
 
 
 @partial(jax.jit, static_argnames=("out_size",))

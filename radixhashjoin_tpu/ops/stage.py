@@ -155,11 +155,11 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             pc = tuple(cols[ci + 2:ci + 2 + n_cols])
             ci += 2 + n_cols
             mult = mats[mi][mult_row] if mult_row is not None else None
-            total, outs = terminal_join_and_project(
+            empty, outs = terminal_join_and_project(
                 src, cnt, lr[fresh_slot], lc[fresh_slot], col_full,
                 col_fresh_join, pc, (ex_kind, full_row, proj_specs), domain,
                 mult=mult)
-            flags.append(total == 0)
+            flags.append(empty)
             partials.extend(outs)
         elif k == "defer_attach":
             _, mi, fresh, src = op
@@ -175,7 +175,9 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
                 base = lr[src[1]][None]
             counts, lvm = _dense_counts(lv, cnt, col_fresh_join[lr[fresh]],
                                         lc[fresh], domain)
-            flags.append(jnp.sum(counts) == 0)   # empty pair set -> NULL
+            # empty pair set -> NULL (wrap-proof: the deferred pair count
+            # can exceed int32, so sum(counts)==0 would false-trigger)
+            flags.append(~jnp.any(counts > 0))
             n = counts.shape[0]
             idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
             keep = (idx < cnt) & (counts > 0)

@@ -175,9 +175,12 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
     final row count < 2**31) and fresh sums become mult-weighted
     ("fresh_w" partials).
 
-    Returns (total, tuple of per-projection partials) — total==0 is the
-    deferred NULL flag; partial kinds are "fresh"/"fresh_w"/"weighted"
-    per spec and mult.
+    Returns (empty, tuple of per-projection partials) — `empty` (device
+    bool) is the deferred NULL flag, computed wrap-proof via any(counts>0)
+    because the factorized pair count routinely exceeds int32 (that is the
+    point of factorizing); partial kinds are "fresh"/"fresh_w"/"weighted"
+    per spec and mult. Exactness bound with `mult`: no single existing row
+    may contribute >= 2**31 final rows (counts*mult is an int32 product).
     """
     ex_kind, full_row, proj_specs = plan
     if ex_kind == "mat":
@@ -186,7 +189,7 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
         lv = col_full[ex_source]
     counts, lvm = _dense_counts(lv, icount, col_join_fresh[fresh_rows],
                                 fresh_cnt, domain)
-    total = jnp.sum(counts)
+    empty = ~jnp.any(counts > 0)
     weight = counts if mult is None else counts * mult
     outs = []
     for spec, col in zip(proj_specs, proj_cols):
@@ -203,7 +206,7 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
                                           icount))
         else:  # "rows"
             outs.append(weighted_partials(col[ex_source], weight, icount))
-    return total, tuple(outs)
+    return empty, tuple(outs)
 
 
 _U64_MASK = (1 << 64) - 1
