@@ -30,6 +30,8 @@ def cli() -> None:
                    help="disable the C++ host runtime")
     p.add_argument("--profile", action="store_true",
                    help="print per-operator roofline table to stderr")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="execute distributed over an N-device mesh")
     args = p.parse_args()
 
     config = EngineConfig(
@@ -39,11 +41,13 @@ def cli() -> None:
         enable_join_reordering=args.reorder_joins,
         use_native_runtime=not args.no_native,
         profile=args.profile,
+        mesh_devices=args.mesh,
     )
     main(config=config)
     if args.profile:
         from .models.engine import _LAST_ENGINE
-        if _LAST_ENGINE is not None:
+        if (_LAST_ENGINE is not None
+                and _LAST_ENGINE.batch_executor is not None):
             print(_LAST_ENGINE.batch_executor.profiler.report(),
                   file=sys.stderr)
 

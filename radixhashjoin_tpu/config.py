@@ -87,7 +87,10 @@ class EngineConfig:
     interpret_pallas: bool = False  # force interpreter mode (CPU testing)
 
     # --- parallelism ---
-    mesh_shape: Optional[tuple] = None  # None => single device
+    # Execute on an n-device mesh (parallel/dist_executor.py): live sets
+    # and intermediates row-sharded, case-1 joins via the skew-aware
+    # level-0 radix exchange. None => the single-chip executors.
+    mesh_devices: Optional[int] = None
 
 
 DEFAULT = EngineConfig()

@@ -47,9 +47,13 @@ _INT32_MAX = 2**31 - 1
 
 class DeviceCatalog:
     def __init__(self, relations: Sequence[Relation],
-                 config: EngineConfig = DEFAULT):
+                 config: EngineConfig = DEFAULT, sharding=None):
+        """`sharding`: optional jax.sharding.Sharding for column uploads —
+        the distributed executor passes NamedSharding(mesh, P()) so every
+        chip holds a replica (parallel/dist_ops.py layout)."""
         self.relations = relations
         self.config = config
+        self._sharding = sharding
         self._cols: Dict[tuple, jax.Array] = {}
         self._planes: Dict[tuple, list] = {}
         self._iota: Dict[int, jax.Array] = {}
@@ -82,7 +86,7 @@ class DeviceCatalog:
                 host = np.searchsorted(
                     self.dict_vals,
                     self.relations[rel_id].values[col]).astype(np.int32)
-            self._cols[key] = jax.device_put(host)
+            self._cols[key] = jax.device_put(host, self._sharding)
         return self._cols[key]
 
     def encode_filter(self, op: str, value: int) -> Tuple[int, np.int32]:
@@ -124,7 +128,7 @@ class DeviceCatalog:
                 self._planes[key] = [(self.col(rel_id, col), 0)]
             elif rel.stats[col].max <= _INT32_MAX:
                 self._planes[key] = [(jax.device_put(
-                    rel.values[col].astype(np.int32)), 0)]
+                    rel.values[col].astype(np.int32), self._sharding), 0)]
             else:
                 host = rel.values[col]
                 hi = int(rel.stats[col].max).bit_length()
@@ -132,7 +136,7 @@ class DeviceCatalog:
                 for shift in range(0, hi, 16):
                     p = ((host >> np.uint64(shift))
                          & np.uint64(0xFFFF)).astype(np.int32)
-                    planes.append((jax.device_put(p), shift))
+                    planes.append((jax.device_put(p, self._sharding), shift))
                 self._planes[key] = planes
         return self._planes[key]
 

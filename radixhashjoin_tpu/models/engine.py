@@ -30,10 +30,20 @@ class Engine:
                  config: EngineConfig = DEFAULT):
         self.relations = list(relations)
         self.config = config
-        self.batch_executor = BatchExecutor(self.relations, config)
-        self.executor = JaxExecutor(self.relations, config,
-                                    catalog=self.batch_executor.catalog)
         self._oracle = OracleExecutor(self.relations)
+        if config.mesh_devices:
+            # distributed execution path: live sets + intermediates
+            # row-sharded over an n-device mesh (parallel/dist_executor.py)
+            from ..parallel import DistExecutor
+            self.dist_executor = DistExecutor(
+                self.relations, config, n_devices=config.mesh_devices)
+            self.batch_executor = None
+            self.executor = None
+        else:
+            self.dist_executor = None
+            self.batch_executor = BatchExecutor(self.relations, config)
+            self.executor = JaxExecutor(self.relations, config,
+                                        catalog=self.batch_executor.catalog)
 
     @classmethod
     def from_paths(cls, paths: Sequence[str],
@@ -55,6 +65,8 @@ class Engine:
         q = self._plan(q)
         if self.config.force_oracle:
             return self._oracle.execute(q)
+        if self.dist_executor is not None:
+            return self.dist_executor.execute(q)
         return self.executor.execute(q)
 
     def _plan(self, q: Query) -> Query:
@@ -71,7 +83,8 @@ class Engine:
         the TPU-native analog of the reference executing every query of a
         batch concurrently on its thread pool (join.cpp:42-49). Returns
         per-query sums (None = NULL line), unformatted."""
-        if self.config.force_oracle or not self.config.batch_execution:
+        if (self.config.force_oracle or not self.config.batch_execution
+                or self.dist_executor is not None):
             return [self.execute(q) for q in batch]
         return self.batch_executor.run_batch([self._plan(q) for q in batch])
 

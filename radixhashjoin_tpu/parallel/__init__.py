@@ -17,6 +17,7 @@ join pipeline, with XLA collectives as the stage boundaries:
 from .mesh import make_mesh
 from .dist_join import (dist_join_count_sum, dist_join_skewaware,
                         radix_exchange)
+from .dist_executor import DistExecutor
 
 __all__ = ["make_mesh", "dist_join_count_sum", "dist_join_skewaware",
-           "radix_exchange"]
+           "radix_exchange", "DistExecutor"]

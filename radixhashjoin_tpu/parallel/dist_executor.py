@@ -1,0 +1,170 @@
+"""Engine-level distributed query execution over a device mesh.
+
+Runs the full validated query semantics (SURVEY.md §9 / oracle.py) SPMD:
+filters, all chaining cases, NULL rules, and exact u64 SUM projections —
+with live sets and the intermediate matrix row-sharded over the mesh and
+the SPMD ops of parallel/dist_ops.py doing the collectives. This is what
+supersedes the reference's single-node radix join (structs.cpp:123-204,
+Result.cpp:90-124) at cross-chip scale; the single-chip executors
+(models/) remain the latency-optimal path for one device.
+
+Host orchestration mirrors models/executor.py: one small readback per
+non-terminal join (the replicated [min,max] shard-total stats, which
+drive the padded output bucket and the NULL/capacity decisions); flags
+and SUM partials read back once at the end of each query.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig, DEFAULT
+from ..models.device_catalog import DeviceCatalog
+from ..oracle import format_result
+from ..ops.join import JoinCapacityError
+from ..storage import Relation
+from ..utils.limbs import combine_limb_partials
+from ..workload import Query
+from .dist_ops import (d_case1_expand, d_case1_probe, d_case2_expand,
+                       d_case2_probe, d_eq_mat, d_eq_rows, d_filter,
+                       d_project, d_seed)
+from .mesh import make_mesh
+
+_U64_MASK = (1 << 64) - 1
+
+
+class DistExecutor:
+    """Distributed executor over an n-device mesh (1-D hash axis)."""
+
+    def __init__(self, relations: Sequence[Relation],
+                 config: EngineConfig = DEFAULT, mesh=None,
+                 n_devices: Optional[int] = None):
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self.axis = self.mesh.axis_names[0]
+        self.n = self.mesh.shape[self.axis]
+        self.config = config
+        self.catalog = DeviceCatalog(
+            relations, config,
+            sharding=NamedSharding(self.mesh, P()))
+        self.relations = relations
+
+    # per-shard padded capacity for a slot of nrows
+    def _shard_cap(self, nrows: int) -> int:
+        return self.catalog.bucket(-(-nrows // self.n))
+
+    def _probe_stats(self, stats) -> tuple:
+        mn, mx = (int(x) for x in np.asarray(stats))
+        if mn < 0:
+            raise JoinCapacityError(
+                "a shard's join exceeds 2**31-1 output pairs")
+        return mn, mx
+
+    def execute(self, q: Query) -> Optional[List[int]]:
+        cat = self.catalog
+        mesh, ax = self.mesh, self.axis
+        nslots = len(q.slots)
+
+        live = []
+        for s in range(nslots):
+            nrows = self.relations[q.slots[s]].num_tuples
+            live.append(list(d_seed(mesh, ax, nrows,
+                                    self._shard_cap(nrows))))
+        flags = []
+        for f in q.filters:
+            col = cat.col(q.slots[f.slot], f.col)
+            opc, const = cat.encode_filter(f.op, f.value)
+            rows, cnts, empty = d_filter(mesh, ax, opc, live[f.slot][0],
+                                         live[f.slot][1], col,
+                                         jnp.asarray([const]))
+            live[f.slot] = [rows, cnts]
+            flags.append(empty)
+
+        mat = None
+        icnts = None
+        slot_row: Dict[int, int] = {}
+
+        for j in q.joins:
+            s1, c1, s2, c2 = j.slot1, j.col1, j.slot2, j.col2
+            colA = cat.col(q.slots[s1], c1)
+            colB = cat.col(q.slots[s2], c2)
+
+            if s1 == s2:
+                if s1 not in slot_row:
+                    mat, icnts = d_eq_rows(mesh, ax, colA, colB,
+                                           *live[s1])
+                    slot_row = {s1: 0}
+                else:
+                    mat, icnts = d_eq_mat(mesh, ax, slot_row[s1],
+                                          slot_row[s2], False, colA, colB,
+                                          mat, icnts)
+                continue
+
+            j1, j2 = s1 in slot_row, s2 in slot_row
+            if j1 and j2:
+                mat, icnts, flag = d_eq_mat(mesh, ax, slot_row[s1],
+                                            slot_row[s2], True, colA, colB,
+                                            mat, icnts)
+                flags.append(flag)
+                continue
+
+            if not j1 and not j2:
+                # case 1: skew-aware cross-chip exchange (wipes others)
+                (Lrow, Rrow, order, lo, off, cum, totals,
+                 stats) = d_case1_probe(mesh, ax,
+                                        self.config.skew_heavy_fraction,
+                                        colA, colB, *live[s1], *live[s2])
+                _, mx = self._probe_stats(stats)
+                if mx == 0:
+                    return None
+                mat = d_case1_expand(mesh, ax, cat.bucket(mx), Lrow, Rrow,
+                                     order, lo, off, cum)
+                icnts = totals
+                slot_row = {s1: 0, s2: 1}
+            else:
+                # case 2: broadcast the fresh side, expand locally
+                if j1:
+                    full, fresh, colF, colG = s1, s2, colA, colB
+                else:
+                    full, fresh, colF, colG = s2, s1, colB, colA
+                (frow_all, order, lo, off, cum, totals,
+                 stats) = d_case2_probe(mesh, ax, slot_row[full], colF,
+                                        mat, icnts, colG, *live[fresh])
+                _, mx = self._probe_stats(stats)
+                if mx == 0:
+                    return None
+                mat = d_case2_expand(mesh, ax, cat.bucket(mx), mat,
+                                     frow_all, order, lo, off, cum)
+                icnts = totals
+                slot_row[fresh] = mat.shape[0] - 1
+
+        # projections: psum'd limb partials per 16-bit plane
+        sums: List[int] = []
+        for p in q.projections:
+            row = slot_row.get(p.slot)
+            if row is None:
+                sums.append(0)
+                continue
+            total = 0
+            for plane, shift in cat.proj_planes(q.slots[p.slot], p.col):
+                partials = d_project(mesh, ax, row, plane, mat, icnts)
+                total += combine_limb_partials(np.asarray(partials)) << shift
+            sums.append(total & _U64_MASK)
+
+        if flags and bool(np.asarray(jnp.stack(flags)).any()):
+            return None
+        return sums
+
+    def run_batch(self, batch: Sequence[Query]) -> List[str]:
+        return [format_result(self.execute(q), len(q.projections))
+                for q in batch]
+
+    def run_workload(self, batches) -> List[str]:
+        out: List[str] = []
+        for batch in batches:
+            out.extend(self.run_batch(batch))
+        return out

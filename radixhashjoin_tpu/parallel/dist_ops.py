@@ -1,0 +1,321 @@
+"""SPMD operator set for engine-level distributed query execution.
+
+Each op is one `shard_map` program over a 1-D device mesh, jitted with the
+mesh static. Data layout (the engine's multi-chip execution shape):
+
+  * relation columns — replicated per chip (contest-scale relations fit
+    HBM many times over; sharded columns are the documented extension)
+  * live rowid sets and the (k, P) intermediate matrix — ROW-SHARDED over
+    the mesh axis. The intermediate is the thing that actually grows
+    (20.8M chained rows on the golden workload, BASELINE.md) and it never
+    moves between chips; per-shard live counts ride a (n_chips,) array.
+
+Join strategy per chaining case (supersedes the reference's single-node
+partition + per-bucket build/probe, structs.cpp:123-204, Result.cpp:90-124,
+at cross-chip scale):
+
+  case 1 (both sides fresh)  — skew-aware level-0 radix exchange: light
+      digits route (value, rowid) pairs to their owner chip via
+      `lax.all_to_all` (the cross-chip partition scatter); digits heavier
+      than `heavy_frac` of the right side broadcast the right rows via
+      `all_gather` while their left rows stay home (the skew valve the
+      reference lacks, SURVEY.md §5). Light/heavy sub-joins concatenate
+      safely: a light left value can never equal a heavy right value
+      (their digits differ in heaviness), so each matching pair is
+      produced exactly once, on exactly one chip. Per-destination bin
+      capacity equals the shard's own padded size, so the exchange can
+      NEVER overflow by construction.
+  case 2 (attach fresh slot) — broadcast join: `all_gather` the fresh
+      side's (value, rowid) pairs (a filtered base relation, small) and
+      join locally against the sharded intermediate (large, stays put).
+  case 3 / same-slot         — purely local row filters; the global
+      pair-set NULL rule needs one `all_gather` of the other side's
+      values plus a `psum`-OR.
+
+Level 1 (chip-local) joins use sentinel-aware sort + searchsorted
+(skew-proof, domain-oblivious); probe totals fold the 2**31 pair-capacity
+flag exactly like ops/join.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..ops.chain import eq_filter_matrix, eq_filter_rows
+from ..ops.filter import filter_live
+from ..ops.join import RIGHT_SENTINEL, _total_or_overflow, expand_pairs
+from ..utils.limbs import CHUNK
+from .dist_join import LEFT_SENTINEL
+
+
+# ---- local (per-chip) primitives used inside shard_map bodies ----
+
+def _flat_probe(lv, rv):
+    """Sentinel-aware local probe: lanes are dead iff lv == LEFT_SENTINEL
+    (-1) / rv == RIGHT_SENTINEL (INT32_MAX); live lanes may appear at any
+    position (post-exchange layout), unlike ops/join.py's live-prefix
+    contract. Returns (order, lo, offsets, cum, total)."""
+    order = jnp.argsort(rv).astype(jnp.int32)
+    rs = rv[order]
+    lo = jnp.searchsorted(rs, lv, side="left", method="sort").astype(jnp.int32)
+    hi = jnp.searchsorted(rs, lv, side="right",
+                          method="sort").astype(jnp.int32)
+    counts = jnp.where(lv >= 0, hi - lo, 0)
+    cum = jnp.cumsum(counts)
+    return order, lo, cum - counts, cum, _total_or_overflow(cum)
+
+
+def _gather_partials_flat(plane, rows, count):
+    """Masked limb partial sums of plane[rows[:count]] (per-shard width is
+    a padded bucket, so the CHUNK divisibility of ops/aggregate holds)."""
+    n = rows.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    vals = jnp.where(idx < count, plane[rows], 0)
+    lo = vals & 0xFFFF
+    hi = vals >> 16
+    return jnp.stack([lo.reshape(n // CHUNK, CHUNK).sum(1, dtype=jnp.int32),
+                      hi.reshape(n // CHUNK, CHUNK).sum(1, dtype=jnp.int32)])
+
+
+def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
+    """Stable per-destination binning of (value, rowid) pairs by digit
+    (vals % n_dest); dead lanes are pre-sentineled values. capacity >= the
+    lane count, so nothing can drop — the level-0 scatter of the two-level
+    radix (cross-chip analog of structs.cpp:123-134), carrying rowids."""
+    live = vals != sentinel
+    digit = jnp.where(live, vals % np.int32(n_dest), np.int32(n_dest))
+    vbins = jnp.full((n_dest, capacity), sentinel, dtype=jnp.int32)
+    rbins = jnp.zeros((n_dest, capacity), dtype=jnp.int32)
+    for d in range(n_dest):
+        m = digit == d
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        dest = jnp.where(m, pos, np.int32(capacity))
+        vbins = vbins.at[d, dest].set(vals, mode="drop")
+        rbins = rbins.at[d, dest].set(rows, mode="drop")
+    return vbins, rbins
+
+
+def _exchange_pairs(vals, rows, n_dest, capacity, sentinel, axis):
+    """Bin + all_to_all both arrays; returns chip-local flat
+    (values, rowids) with dead lanes sentineled in values."""
+    vbins, rbins = _bin_pairs(vals, rows, n_dest, capacity, sentinel)
+    vr = jax.lax.all_to_all(vbins, axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    rr = jax.lax.all_to_all(rbins, axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    return vr.reshape(-1), rr.reshape(-1)
+
+
+def _heavy_digits(rv, n: int, heavy_frac: float, axis: str):
+    """Global right-side digit histogram (psum of local bincounts — the
+    cross-chip analog of structs.cpp:111-121,168-173) -> heavy mask."""
+    live = rv != RIGHT_SENTINEL
+    digit = jnp.where(live, rv % np.int32(n), np.int32(n))
+    local = jnp.zeros(n, jnp.int32).at[digit].add(1, mode="drop")
+    ghist = jax.lax.psum(local, axis)
+    total = jnp.maximum(jnp.sum(ghist), 1)
+    return ghist > (heavy_frac * total).astype(jnp.int32)
+
+
+def _mask_heavy(vals, heavy, n, sentinel, keep_heavy: bool):
+    live = vals != sentinel
+    dig = jnp.where(live, vals % np.int32(n), 0)
+    h = heavy[dig] & live
+    keep = h if keep_heavy else (live & ~h)
+    return jnp.where(keep, vals, sentinel)
+
+
+# ---- SPMD ops (global-array interface; mesh/axis static) ----
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "nrows", "cap"))
+def d_seed(mesh, axis, nrows: int, cap: int):
+    """Seed a slot's live set: shard i owns rowids [i*chunk, (i+1)*chunk).
+    Returns (rows (n*cap,) sharded, counts (n,) sharded)."""
+    n = mesh.shape[axis]
+    chunk = -(-nrows // n)
+
+    @partial(shard_map, mesh=mesh, in_specs=(), out_specs=(P(axis), P(axis)))
+    def body():
+        i = jax.lax.axis_index(axis)
+        rows = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        cnt = jnp.clip(nrows - i * chunk, 0, min(chunk, cap))
+        return rows, cnt.astype(jnp.int32).reshape(1)
+    return body()
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "opc"))
+def d_filter(mesh, axis, opc: int, rows, counts, col, const):
+    """Local filter of each shard's live prefix; returns (rows', counts',
+    empty) where empty (replicated bool) is the global NULL flag."""
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
+             out_specs=(P(axis), P(axis), P()))
+    def body(rows, cnts, col, const):
+        r, c = filter_live(rows, cnts[0], col, const[0], opc)
+        total = jax.lax.psum(c, axis)
+        return r, c.reshape(1), total == 0
+    return body(rows, counts, col, const)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def d_eq_rows(mesh, axis, colA, colB, rows, counts):
+    """Fresh same-slot predicate (parse_table intended semantics,
+    intermediate.cpp:17-25): local row filter -> (1, P) intermediate."""
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
+             out_specs=(P(None, axis), P(axis)))
+    def body(colA, colB, rows, cnts):
+        r, c = eq_filter_rows(colA, colB, rows, cnts[0])
+        return r[None], c.reshape(1)
+    return body(colA, colB, rows, counts)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "i1", "i2", "null_flag"))
+def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
+             colA, colB, mat, icnts):
+    """Case 3 / joined same-slot: local row filter of the sharded
+    intermediate. With null_flag, also evaluates the reference's pair-set
+    NULL rule GLOBALLY (Query.cpp:188-191): v1 on one chip may match v2 on
+    another, so the other side's values are all_gathered first."""
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(None, axis), P(axis)),
+             out_specs=((P(None, axis), P(axis), P()) if null_flag
+                        else (P(None, axis), P(axis))))
+    def body(colA, colB, mat, icnts):
+        ic = icnts[0]
+        out = eq_filter_matrix(colA, colB, mat, i1, i2, ic)
+        if not null_flag:
+            return out[0], out[1].reshape(1)
+        w = mat.shape[1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+        live = idx < ic
+        v1 = jnp.where(live, colA[mat[i1]], LEFT_SENTINEL)
+        v2 = jnp.where(live, colB[mat[i2]], RIGHT_SENTINEL)
+        v2_all = jax.lax.all_gather(v2, axis).reshape(-1)
+        *_, total = _flat_probe(v1, v2_all)
+        nonempty = jax.lax.psum((total != 0).astype(jnp.int32), axis) > 0
+        return out[0], out[1].reshape(1), ~nonempty
+    return body(colA, colB, mat, icnts)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "heavy_frac"))
+def d_case1_probe(mesh, axis, heavy_frac: float, colA, colB,
+                  lrows, lcnts, rrows, rcnts):
+    """Case-1 probe: skew-aware level-0 exchange of (value, rowid) pairs,
+    then the chip-local sentinel probe. Returns sharded
+    (Lrow, Rrow, order, lo, off, cum, totals) + replicated
+    stats = [min_total, max_total] (min < 0 => capacity overflow)."""
+    n = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(axis),) * 7 + (P(),))
+    def body(colA, colB, lrows, lc, rrows, rc):
+        capL, capR = lrows.shape[0], rrows.shape[0]
+        il = jax.lax.broadcasted_iota(jnp.int32, (capL,), 0)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (capR,), 0)
+        lv = jnp.where(il < lc[0], colA[lrows], LEFT_SENTINEL)
+        rv = jnp.where(ir < rc[0], colB[rrows], RIGHT_SENTINEL)
+
+        heavy = _heavy_digits(rv, n, heavy_frac, axis)
+
+        # light path: route pairs to the digit-owner chip
+        lv_light = _mask_heavy(lv, heavy, n, LEFT_SENTINEL, False)
+        rv_light = _mask_heavy(rv, heavy, n, RIGHT_SENTINEL, False)
+        lfv, lfr = _exchange_pairs(lv_light, lrows, n, capL,
+                                   LEFT_SENTINEL, axis)
+        rfv, rfr = _exchange_pairs(rv_light, rrows, n, capR,
+                                   RIGHT_SENTINEL, axis)
+
+        # heavy path: right heavy rows broadcast, left heavy rows stay home
+        lv_heavy = _mask_heavy(lv, heavy, n, LEFT_SENTINEL, True)
+        rv_heavy = _mask_heavy(rv, heavy, n, RIGHT_SENTINEL, True)
+        rgv = jax.lax.all_gather(rv_heavy, axis).reshape(-1)
+        rgr = jax.lax.all_gather(rrows, axis).reshape(-1)
+
+        # light x heavy cannot match (digit heaviness differs), so the
+        # concatenated local join counts every global pair exactly once
+        L = jnp.concatenate([lfv, lv_heavy])
+        Lrow = jnp.concatenate([lfr, lrows])
+        R = jnp.concatenate([rfv, rgv])
+        Rrow = jnp.concatenate([rfr, rgr])
+
+        order, lo, off, cum, total = _flat_probe(L, R)
+        stats = jnp.stack([jax.lax.pmin(total, axis),
+                           jax.lax.pmax(total, axis)])
+        return (Lrow, Rrow, order, lo, off, cum,
+                total.reshape(1), stats)
+    return body(colA, colB, lrows, lcnts, rrows, rcnts)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "out_cap"))
+def d_case1_expand(mesh, axis, out_cap: int, Lrow, Rrow, order, lo, off,
+                   cum):
+    """Materialize each chip's local pairs into a fresh (2, P)
+    intermediate (lanes past the chip's total are garbage, masked by the
+    per-shard counts downstream)."""
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis),) * 6,
+             out_specs=P(None, axis))
+    def body(Lrow, Rrow, order, lo, off, cum):
+        li, ri = expand_pairs(order, lo, off, cum, out_cap)
+        return jnp.stack([Lrow[li], Rrow[ri]])
+    return body(Lrow, Rrow, order, lo, off, cum)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "full_row"))
+def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
+                  col_fresh, frows, fcnts):
+    """Case-2 probe: broadcast the (small, filtered) fresh side, probe the
+    sharded intermediate locally — the 20M-row side never crosses ICI.
+    Returns (frow_all replicated, order, lo, off, cum, totals, stats)."""
+    # check_vma off: frow_all comes from all_gather, which IS replicated
+    # but the varying-mesh-axes checker cannot statically infer it
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, axis), P(axis), P(), P(axis), P(axis)),
+             out_specs=(P(),) + (P(axis),) * 5 + (P(),), check_vma=False)
+    def body(col_full, mat, icnts, col_fresh, frows, fc):
+        w = mat.shape[1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+        lv = jnp.where(idx < icnts[0], col_full[mat[full_row]],
+                       LEFT_SENTINEL)
+        capF = frows.shape[0]
+        jf = jax.lax.broadcasted_iota(jnp.int32, (capF,), 0)
+        fv = jnp.where(jf < fc[0], col_fresh[frows], RIGHT_SENTINEL)
+        fv_all = jax.lax.all_gather(fv, axis).reshape(-1)
+        frow_all = jax.lax.all_gather(frows, axis).reshape(-1)
+        order, lo, off, cum, total = _flat_probe(lv, fv_all)
+        stats = jnp.stack([jax.lax.pmin(total, axis),
+                           jax.lax.pmax(total, axis)])
+        return frow_all, order, lo, off, cum, total.reshape(1), stats
+    return body(col_full, mat, icnts, col_fresh, frows, fcnts)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "out_cap"))
+def d_case2_expand(mesh, axis, out_cap: int, mat, frow_all, order, lo, off,
+                   cum):
+    """Replicate each chip's intermediate rows per fresh match and attach
+    the fresh rowid row (gather formulation of intermediate.cpp:52-66)."""
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, axis), P()) + (P(axis),) * 4,
+             out_specs=P(None, axis))
+    def body(mat, frow_all, order, lo, off, cum):
+        li, ri = expand_pairs(order, lo, off, cum, out_cap)
+        return jnp.concatenate([mat[:, li], frow_all[ri][None]], axis=0)
+    return body(mat, frow_all, order, lo, off, cum)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "row"))
+def d_project(mesh, axis, row: int, plane, mat, icnts):
+    """Exact limb partial sums of plane[mat[row]] over every shard's live
+    prefix, psum'd across the mesh (partials stay far below int32:
+    chunk < 2**26, n_chips adds log2(n) bits)."""
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, axis), P(axis)), out_specs=P())
+    def body(plane, mat, icnts):
+        return jax.lax.psum(
+            _gather_partials_flat(plane, mat[row], icnts[0]), axis)
+    return body(plane, mat, icnts)
