@@ -46,6 +46,8 @@ def main() -> int:
 
     if profile:
         engine.batch_executor.profiler.reset()
+    engine.batch_executor.counters = {k: 0 for k in
+                                      engine.batch_executor.counters}
     t0 = time.time()
     got = engine.run_workload(batches)
     wall = time.time() - t0
@@ -58,6 +60,7 @@ def main() -> int:
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(REFERENCE_WALL_S / wall, 1),
+        **engine.batch_executor.counters,
     }))
     return 0
 

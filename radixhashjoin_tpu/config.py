@@ -33,10 +33,18 @@ class EngineConfig:
     # axon transport; raise it on links where the host cannot pipeline
     # dispatches.
     stage_group: int = 1
-    # Defer a middle join's fresh attach into the terminal stage when no
-    # later join probes it: rows never expand (a mult row carries the
-    # multiplicity) and the readback boundary disappears.
+    # Defer a middle join's fresh attach when no later join references the
+    # attached slot (any depth, any number of slots): rows never expand (a
+    # mult row carries the multiplicity) and the readback boundary
+    # disappears.
     defer_middle: bool = True
+    # Speculative expansion sizing: non-deferable middle joins expand at a
+    # stats-estimated padded size INSIDE the same program (no readback); a
+    # device flag records mis-speculation and the query retries on the
+    # exact readback path. Whole queries become single dispatches.
+    speculate_expansions: bool = True
+    speculate_slack: float = 4.0        # padding over the estimate
+    speculate_max: int = 1 << 22        # never speculate wider than this
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

@@ -5,13 +5,18 @@ MainScheduler.cpp) — the TPU-native analog is *latency batching*: all
 device calls are async, so the host drives a whole batch of queries
 breadth-first and synchronizes only where a value is genuinely needed:
 
-  readbacks per batch = (#join waves, for output-shape decisions)
-                      + 1 (all NULL flags, stacked)
-                      + 1 (all projection limb partials, concatenated)
+  readbacks per batch = 1 (flags + spec flags + SUM partials, one sweep)
+                      + one stacked readback per residual join wave —
+                        and with deferred attaches (any depth) plus
+                        speculative expansion sizing, whole queries
+                        compile to a SINGLE dispatch and the golden
+                        workload runs with zero wave readbacks
 
 versus one readback per operator in the naive executor. Over a remote
 device transport (30-80 ms/readback on the axon tunnel) this is the
 difference between readback-bound and compute-bound execution.
+Mis-speculated expansions (device-verified) retry on the exact path;
+`counters` tracks dispatches / readbacks / spec retries.
 
 Representation: each query's intermediate is ONE (k, P) int32 device
 matrix — row j is the rowid column of the j-th joined slot (vs the
@@ -45,17 +50,23 @@ from ..utils.limbs import combine_limb_partials, combine_weighted_partials
 from ..utils.profiling import OpProfiler, arr_bytes
 from ..workload import Query
 from .device_catalog import DeviceCatalog
+from .planner import _propagate_join, _rough_filter_estimate
+from .stats import estimate_join_output, seed_stats
 
 _U64_MASK = (1 << 64) - 1
+
+# sentinel: a query whose speculative expansion under-sized (device spec
+# flag False) — rerun on the exact readback path
+_RETRY = object()
 
 
 class _QState:
     __slots__ = ("q", "live_rows", "live_cnt", "mat", "slot_row", "icount",
                  "null", "flags", "probe", "fresh_slot", "sums", "terminal",
-                 "next_join", "pending", "mat_rows", "mult_row", "lv_row",
-                 "defer_slot", "defer_col_join")
+                 "next_join", "pending", "mat_rows", "defers", "spec_flags",
+                 "speculate", "est")
 
-    def __init__(self, q: Query):
+    def __init__(self, q: Query, speculate: bool = True):
         self.q = q
         self.live_rows: List[jax.Array] = []
         self.live_cnt: List[object] = []      # device int32 or np.int32
@@ -75,11 +86,15 @@ class _QState:
         self.next_join = 0
         self.pending = None                    # ("pair", s1, s2)|("attach", f)
         self.mat_rows = 0
-        # deferred middle attach (at most one, immediately pre-terminal)
-        self.mult_row = None
-        self.lv_row = None
-        self.defer_slot = None
-        self.defer_col_join = None
+        # deferred middle attaches (any number, any depth): each entry is
+        # {"slot", "mult_row", "lv_row", "col_join"}; mult/lv are matrix
+        # rows that ride along through compactions and expansions
+        self.defers: List[dict] = []
+        # speculative expansion sizing: device ok-flags; any False => the
+        # query retries on the exact readback path
+        self.spec_flags: List[jax.Array] = []
+        self.speculate = speculate
+        self.est = None                        # List[SlotStats] (lazy)
 
 
 class BatchExecutor:
@@ -89,6 +104,9 @@ class BatchExecutor:
         self.catalog = catalog or DeviceCatalog(relations, config)
         self.config = config
         self.profiler = OpProfiler(config.profile)
+        # dispatch/readback accounting (VERDICT r1: instrument and print):
+        # dispatches = compiled-program launches; readbacks = host syncs
+        self.counters = {"dispatches": 0, "readbacks": 0, "spec_retries": 0}
         kind = config.join_backend
         if kind == "auto":
             kind = ("dense" if self.catalog.domain <= config.max_dense_domain
@@ -313,6 +331,28 @@ class BatchExecutor:
                     arr_bytes(st.mat[0]) * 2), sh))
             st.sums.append(parts)
 
+    # ---- speculative expansion sizing (models/stats.py estimator) ----
+
+    def _ensure_est(self, st: _QState) -> None:
+        if st.est is None:
+            st.est = seed_stats(self.catalog.relations, st.q.slots)
+            for f in st.q.filters:
+                surviving = _rough_filter_estimate(st.est[f.slot], f.col,
+                                                   f.op, f.value)
+                st.est[f.slot].apply_filter(f.col, f.op, f.value, surviving)
+
+    def _spec_size(self, st: _QState, j) -> Optional[int]:
+        """Padded speculative output size for join j, or None when the
+        estimate (x slack) exceeds speculate_max — then the exact
+        readback path runs instead."""
+        self._ensure_est(st)
+        est = estimate_join_output(st.est[j.slot1], j.col1,
+                                   st.est[j.slot2], j.col2)
+        _propagate_join(st.est, j)
+        size = self.catalog.bucket(
+            max(int(est * self.config.speculate_slack), 1))
+        return size if size <= self.config.speculate_max else None
+
     # ---- fused-stage planner + grouped driver (dense backend) ----
 
     def _plan_stage(self, st: _QState, opening, slot_off: int, mi: int,
@@ -351,6 +391,7 @@ class BatchExecutor:
                 plan.append(("expand_pair", pi, mi, s1 + slot_off,
                              s2 + slot_off, out_size))
                 st.slot_row = {s1: 0, s2: 1}
+                st.defers = []              # case-1 wipe (SURVEY.md §8.5)
                 st.mat_rows = 2
             else:
                 _, fresh = st.pending
@@ -370,6 +411,7 @@ class BatchExecutor:
                 if s1 not in st.slot_row:
                     plan.append(("eqrows", mi, s1 + slot_off))
                     st.slot_row = {s1: 0}
+                    st.defers = []          # fresh same-slot wipe (§8.2)
                     st.mat_rows = 1
                 else:
                     plan.append(("eqmat", mi, st.slot_row[s1],
@@ -388,6 +430,9 @@ class BatchExecutor:
             terminal = (k == len(q.joins) - 1)
             if terminal:
                 if not j1 and not j2:
+                    # case-1 terminal wipes any existing component,
+                    # including its deferred attaches (SURVEY.md §8.5)
+                    st.defers = []
                     ex_kind, rows_slot, full_row = "rows", s1, 0
                     fresh, col_full, col_fresh = s2, colA, colB
                     nz = {s1: ("rows",), s2: ("fresh",)}
@@ -400,7 +445,9 @@ class BatchExecutor:
                     nz = {fresh: ("fresh",)}
                     for slot, row in st.slot_row.items():
                         nz[slot] = ("mat", row)
-                fresh_kind = "fresh" if st.mult_row is None else "fresh_w"
+                mult_rows = tuple(d["mult_row"] for d in st.defers) or None
+                fresh_kind = "fresh" if mult_rows is None else "fresh_w"
+                defer_of = {d["slot"]: d for d in st.defers}
                 specs, pcols, defer_projs = [], [], []
                 for idx, p in enumerate(q.projections):
                     spec = nz.get(p.slot)
@@ -412,79 +459,96 @@ class BatchExecutor:
                             sum_map.append((idx, fresh_kind
                                             if spec[0] == "fresh"
                                             else "weighted", sh))
-                    elif (st.mult_row is not None
-                          and p.slot == st.defer_slot):
-                        defer_projs.append((idx, p))
+                    elif p.slot in defer_of:
+                        defer_projs.append((idx, p, defer_of[p.slot]))
                 plan.append(("terminal", mi, ex_kind,
                              (fresh + slot_off, rows_slot + slot_off),
                              full_row, tuple(specs), len(pcols),
-                             st.mult_row))
+                             mult_rows))
                 cols.extend((col_full, col_fresh))
                 cols.extend(pcols)
                 n_flags += 1
-                for idx, p in defer_projs:
-                    # projection on the deferred slot: terminal-count-
-                    # weighted sum over that slot's value table(s)
+                for idx, p, d in defer_projs:
+                    # projection on a deferred slot d: sum over final rows
+                    # of T_d[lv_d] * terminal_count * prod(other mults)
+                    excl = tuple(e["mult_row"] for e in st.defers
+                                 if e is not d)
                     for plane, sh in cat.proj_planes(q.slots[p.slot],
                                                      p.col):
                         plan.append(("project_defer", mi, full_row,
-                                     fresh + slot_off, st.lv_row,
-                                     st.defer_slot + slot_off))
+                                     fresh + slot_off, d["lv_row"],
+                                     d["slot"] + slot_off, excl))
                         cols.extend((col_full, col_fresh,
-                                     st.defer_col_join, plane))
+                                     d["col_join"], plane))
                         sum_map.append((idx, "fresh_w", sh))
                 st.terminal = True
                 k += 1
                 continue
-            # deferred middle attach: the next join is the terminal and
-            # never probes this join's fresh slot -> fold this join into
-            # the stage as a multiplicity update (no expansion, no
-            # readback boundary)
-            if (self.config.defer_middle and st.mult_row is None
-                    and k == len(q.joins) - 2):
-                jn = q.joins[k + 1]
-                jn_slots = (jn.slot1, jn.slot2)
+            # deferred middle attach (any depth): no later join references
+            # this join's fresh slot -> fold it in as a multiplicity row
+            # (no expansion, no readback boundary, rows never multiply)
+            if self.config.defer_middle:
+                later = {s for jj in q.joins[k + 1:]
+                         for s in (jj.slot1, jj.slot2)}
                 if j1 or j2:
-                    # case 2: the fresh side is fixed
-                    f = s2 if j1 else s1
-                    mset = set(st.slot_row)
+                    f = s2 if j1 else s1        # case 2: fresh side fixed
                 else:
-                    # case 1: defer whichever side the terminal does NOT
-                    # probe (sums are orientation-independent)
-                    if s2 not in jn_slots:
-                        f = s2
-                    elif s1 not in jn_slots:
-                        f = s1
-                    else:
-                        f = None
-                    if f is not None:
-                        mset = {s1 if f == s2 else s2}
-                if (f is not None and jn.slot1 != jn.slot2
-                        and f not in jn_slots
-                        and ((jn.slot1 in mset) != (jn.slot2 in mset))):
+                    # case 1: defer whichever side no later join references
+                    f = (s2 if s2 not in later
+                         else (s1 if s1 not in later else None))
+                if f is not None and f not in later:
                     if j1 or j2:
                         col_full = colA if j1 else colB
                         col_fr = colB if j1 else colA
                         src = ("mat", st.slot_row[s1 if j1 else s2])
                         base_rows = st.mat_rows
                     else:
+                        # fresh pair: the non-deferred side becomes the
+                        # base component (wipes any prior one, §8.5)
                         base_slot = s1 if f == s2 else s2
                         col_full = colA if f == s2 else colB
                         col_fr = colB if f == s2 else colA
                         src = ("rows", base_slot + slot_off)
                         st.slot_row = {base_slot: 0}
+                        st.defers = []
                         base_rows = 1
                     plan.append(("defer_attach", mi, f + slot_off, src))
                     cols.extend((col_full, col_fr))
                     n_flags += 1
-                    st.mult_row = base_rows
-                    st.lv_row = base_rows + 1
+                    st.defers.append({"slot": f, "mult_row": base_rows,
+                                      "lv_row": base_rows + 1,
+                                      "col_join": col_fr})
                     st.mat_rows = base_rows + 2
-                    st.defer_slot = f
-                    st.defer_col_join = col_fr
                     k += 1
                     continue
-            # non-terminal case 1/2: stage ends at the probe
+            # non-deferable middle join: speculative expansion keeps the
+            # stage going (device flag verifies; mis-speculation retries
+            # on the exact readback path)
+            spec = (self._spec_size(st, j)
+                    if (self.config.speculate_expansions and st.speculate)
+                    else None)
+            if spec is not None:
+                if not j1 and not j2:
+                    plan.append(("spec_pair", mi, s1 + slot_off,
+                                 s2 + slot_off, spec))
+                    cols.extend((colA, colB))
+                    st.slot_row = {s1: 0, s2: 1}
+                    st.defers = []
+                    st.mat_rows = 2
+                else:
+                    if j1:
+                        full, fresh, cF, cG = s1, s2, colA, colB
+                    else:
+                        full, fresh, cF, cG = s2, s1, colB, colA
+                    plan.append(("spec_attach", mi, st.slot_row[full],
+                                 fresh + slot_off, spec))
+                    cols.extend((cF, cG))
+                    st.slot_row[fresh] = st.mat_rows
+                    st.mat_rows += 1
+                n_flags += 1                    # the total==0 NULL flag
+                k += 1
+                continue
+            # exact path: stage ends at the probe
             if not j1 and not j2:
                 plan.append(("probe1", s1 + slot_off, s2 + slot_off))
                 cols.extend((colA, colB))
@@ -504,16 +568,33 @@ class BatchExecutor:
         st.next_join = k
         st.pending = None
         if not st.terminal:
-            # pipeline ended on a row-filter join (or no joins): plain
-            # limb-sum projections over the materialized intermediate
+            # pipeline ended on a row-filter join (or no joins): limb-sum
+            # projections over the materialized intermediate — weighted by
+            # the deferred multiplicity product when attaches were deferred
+            mult_rows = tuple(d["mult_row"] for d in st.defers)
+            defer_of = {d["slot"]: d for d in st.defers}
             for idx, p in enumerate(q.projections):
                 row = st.slot_row.get(p.slot)
                 if row is not None:
                     for plane, sh in cat.proj_planes(q.slots[p.slot],
                                                      p.col):
-                        plan.append(("project", mi, row))
+                        if mult_rows:
+                            plan.append(("project_w", mi, row, mult_rows))
+                            sum_map.append((idx, "weighted", sh))
+                        else:
+                            plan.append(("project", mi, row))
+                            sum_map.append((idx, "limb", sh))
                         cols.append(plane)
-                        sum_map.append((idx, "limb", sh))
+                elif p.slot in defer_of:
+                    d = defer_of[p.slot]
+                    excl = tuple(e["mult_row"] for e in st.defers
+                                 if e is not d)
+                    for plane, sh in cat.proj_planes(q.slots[p.slot],
+                                                     p.col):
+                        plan.append(("project_defer_nt", mi, d["lv_row"],
+                                     d["slot"] + slot_off, excl))
+                        cols.extend((d["col_join"], plane))
+                        sum_map.append((idx, "fresh_w", sh))
         return plan, cols, vals, sum_map, n_flags, True
 
     _MAT_PLACEHOLDER_WIDTH = 1024
@@ -542,13 +623,16 @@ class BatchExecutor:
             p, c, v, sum_map, n_flags, sums_done = self._plan_stage(
                 st, opening, slot_off, mi, pi)
             emits_probe = bool(p) and p[-1][0] in ("probe1", "probe2")
+            n_specs = sum(1 for op in p
+                          if op[0] in ("spec_pair", "spec_attach"))
             meta.append((st, slot_off, len(st.live_rows), mi, sum_map,
-                         sums_done, n_flags, emits_probe))
+                         sums_done, n_flags, emits_probe, n_specs))
             plan.extend(p)
             cols.extend(c)
             vals.extend(v)
         if not plan:
             return
+        self.counters["dispatches"] += 1
         plan_t = tuple(plan)
         out = self.profiler.record(
             "stage",
@@ -556,13 +640,13 @@ class BatchExecutor:
                       tuple(ic_in), tuple(probes_in), tuple(cols),
                       tuple(vals), plan_t, self.catalog.domain),
             0)
-        lr, lc, mats, ics, probes_out, flags, partials = out
+        lr, lc, mats, ics, probes_out, flags, partials, specs = out
         t_slots, t_mats = touched_state(plan_t)
         slot_new = dict(zip(t_slots, zip(lr, lc)))
         mat_new = dict(zip(t_mats, zip(mats, ics)))
-        fi = pi_out = qi = 0
+        fi = pi_out = qi = si = 0
         for (st, slot_off, n_slots, mi, sum_map, sums_done, n_flags,
-             emits_probe) in meta:
+             emits_probe, n_specs) in meta:
             for i in range(n_slots):
                 upd = slot_new.get(slot_off + i)
                 if upd is not None:
@@ -572,6 +656,8 @@ class BatchExecutor:
                 st.mat, st.icount = upd
             st.flags.extend(flags[fi:fi + n_flags])
             fi += n_flags
+            st.spec_flags.extend(specs[si:si + n_specs])
+            si += n_specs
             if sums_done:
                 sums = [[] for _ in st.q.projections]
                 for (idx, kind, shift) in sum_map:
@@ -584,12 +670,13 @@ class BatchExecutor:
                 st.probe = probes_out[pi_out]
                 pi_out += 1
 
-    def _run_batch_fused(self, queries: Sequence[Query]
+    def _run_batch_fused(self, queries: Sequence[Query],
+                         speculate: bool = True
                          ) -> List[Optional[List[int]]]:
         cat = self.catalog
         states = []
         for q in queries:
-            st = _QState(q)
+            st = _QState(q, speculate=speculate)
             for s in range(len(q.slots)):
                 n = cat.relations[q.slots[s]].num_tuples
                 st.live_rows.append(cat.iota(cat.bucket(n)))
@@ -603,6 +690,7 @@ class BatchExecutor:
                     and not st.null]
             if not pend:
                 break
+            self.counters["readbacks"] += 1
             totals = np.asarray(jnp.stack([st.probe[4] for st in pend]))
             openings = {}
             live = []
@@ -622,7 +710,17 @@ class BatchExecutor:
             for i in range(0, len(live), group):
                 chunk = live[i:i + group]
                 self._run_round(chunk, openings)
-        return self._final_sweep(states)
+        results = self._final_sweep(states)
+        retry = [i for i, r in enumerate(results) if r is _RETRY]
+        if retry:
+            # mis-speculated expansions: rerun those queries on the exact
+            # readback path (speculation off => no further retries)
+            self.counters["spec_retries"] += len(retry)
+            redo = self._run_batch_fused([queries[i] for i in retry],
+                                         speculate=False)
+            for i, r in zip(retry, redo):
+                results[i] = r
+        return results
 
     # ---- per-op driver (sort backend / fusion off) ----
 
@@ -641,6 +739,7 @@ class BatchExecutor:
                     wave.append(st)
             if wave:
                 # one stacked readback for the whole wave's totals
+                self.counters["readbacks"] += 1
                 totals = np.asarray(jnp.stack([st.probe[4] for st in wave]))
                 for st, total in zip(wave, totals):
                     self._join_wave_expand(st, k, int(total))
@@ -652,27 +751,36 @@ class BatchExecutor:
 
     def _final_sweep(self, states: List[_QState]
                      ) -> List[Optional[List[int]]]:
-        # final sweep: ONE readback for all flags + all partials
+        # final sweep: ONE readback for all flags + spec flags + partials.
+        # Spec flags are read for null-marked states too: a host NULL
+        # decision taken downstream of an under-sized speculative
+        # expansion is unreliable and must retry.
         all_flags = [f for st in states if not st.null for f in st.flags]
+        all_specs = [f for st in states for f in st.spec_flags]
         parts = [e[1].reshape(-1) for st in states if not st.null
                  for s in st.sums for e in s]
-        pieces = ([jnp.stack(all_flags).astype(jnp.int32)] if all_flags
+        bools = all_flags + all_specs
+        pieces = ([jnp.stack(bools).astype(jnp.int32)] if bools
                   else []) + parts
+        self.counters["readbacks"] += 1
         combined = (np.asarray(jnp.concatenate(pieces)) if pieces
                     else np.zeros(0, np.int32))
-        nf = len(all_flags)
+        nf, ns = len(all_flags), len(all_specs)
         flags_np = combined[:nf] != 0
-        parts_np = combined[nf:]
+        specs_np = combined[nf:nf + ns] != 0
+        parts_np = combined[nf + ns:]
 
         combiners = {"limb": combine_limb_partials,
                      "weighted": combine_weighted_partials,
                      "fresh": combine_fresh_partials,
                      "fresh_w": combine_fresh_w_partials}
-        results: List[Optional[List[int]]] = []
-        fi = pi = 0
+        results: List[object] = []
+        fi = pi = si = 0
         for st in states:
+            spec_ok = bool(specs_np[si:si + len(st.spec_flags)].all())
+            si += len(st.spec_flags)
             if st.null:
-                results.append(None)
+                results.append(None if spec_ok else _RETRY)
                 continue
             nulled = bool(flags_np[fi:fi + len(st.flags)].any())
             fi += len(st.flags)
@@ -685,5 +793,8 @@ class BatchExecutor:
                         parts_np[pi:pi + m].reshape(arr.shape)) << shift
                     pi += m
                 sums.append(total & _U64_MASK)
-            results.append(None if nulled else sums)
+            if not spec_ok:
+                results.append(_RETRY)
+            else:
+                results.append(None if nulled else sums)
         return results

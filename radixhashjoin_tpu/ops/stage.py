@@ -30,16 +30,26 @@ indexes the probes consumed by expansions):
   ("probe2", mi, full_row, fresh)        case-2 probe (emits a probe)
   ("expand_pair", pi, mi, s1, s2, out)   case-1 expansion into mats[mi]
   ("expand_attach", pi, mi, fresh, out)  case-2 expansion of mats[mi]
+  ("spec_pair", mi, s1, s2, out)         speculative case-1 probe+expand
+      at a stats-estimated size in the SAME program (no readback); emits
+      a NULL flag (total==0) and a spec ok-flag (total fits `out`)
+  ("spec_attach", mi, full_row, fresh, out)  speculative case-2 ditto
   ("terminal", mi, ex_kind, (fresh_slot, rows_slot), full_row,
-   proj_specs, n_cols, mult_row)         fused terminal join + SUMs
+   proj_specs, n_cols, mult_rows)        fused terminal join + SUMs;
+      mult_rows (tuple | None) multiply into the weights when middle
+      attaches were deferred
   ("project", mi, row)                   non-terminal projection (limb sum)
-  ("defer_attach", mi, fresh, src)       deferred middle attach: no
-      expansion — rows gain a `mult` row (match counts) and an `lv` row
-      (full-side values), zero-mult rows compact away. src is
-      ("mat", full_row) | ("rows", slot). Folds a middle join into the
-      terminal stage: no readback boundary at all.
-  ("project_defer", mi, full_row, tf_slot, lv_row, d_slot)
-      projection on a deferred slot: terminal-count-weighted T-table sum
+  ("defer_attach", mi, fresh, src)       deferred middle attach (any
+      depth, any count): no expansion — rows gain a `mult` row (match
+      counts) and an `lv` row (full-side values), zero-mult rows compact
+      away. src is ("mat", full_row) | ("rows", slot).
+  ("project_defer", mi, full_row, tf_slot, lv_row, d_slot, excl)
+      deferred-slot projection at a terminal: T-table sum weighted by
+      terminal counts x the OTHER deferred multiplicities (excl rows)
+  ("project_defer_nt", mi, lv_row, d_slot, excl)
+      deferred-slot projection with no terminal join
+  ("project_w", mi, row, mult_rows)      projection weighted by deferred
+      multiplicities (pipeline ended on a row-filter join)
 
 Column operands arrive in `cols` in plan order; filter constants in
 `vals`.
@@ -62,6 +72,7 @@ from .filter import filter_full, filter_live
 from .join_dense import dense_any_common
 from .terminal import (_dense_counts, _fresh_sum_weighted,
                        terminal_join_and_project)
+from ..utils.limbs import weighted_partials
 
 
 def touched_state(plan):
@@ -70,7 +81,8 @@ def touched_state(plan):
     otherwise be materialized as program outputs (wasted HBM traffic)."""
     slots = sorted({op[1] for op in plan if op[0] in ("ffull", "flive")})
     mats = sorted({op[1] for op in plan
-                   if op[0] in ("eqrows", "eqmat", "defer_attach")} |
+                   if op[0] in ("eqrows", "eqmat", "defer_attach",
+                                "spec_pair", "spec_attach")} |
                   {op[2] for op in plan
                    if op[0] in ("expand_pair", "expand_attach")})
     return tuple(slots), tuple(mats)
@@ -81,7 +93,9 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
               plan, domain):
     """Execute one fused stage for a group of queries. Returns
     (touched live_rows, touched live_cnt, touched mats, touched icounts,
-    probes_out, flags, partials) — see touched_state for the index sets."""
+    probes_out, flags, partials, specs) — see touched_state for the index
+    sets; specs are the speculative-expansion ok flags (False => retry the
+    query on the exact readback path)."""
     lr = list(live_rows)
     lc = list(live_cnt)
     mats = list(mats)
@@ -90,6 +104,13 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
     flags = []
     partials = []
     probes_out = []
+    specs = []
+
+    def _mult_of(mi, rows):
+        m = mats[mi][rows[0]]
+        for r in rows[1:]:
+            m = m * mats[mi][r]
+        return m
     for op in plan:
         k = op[0]
         if k == "ffull":
@@ -145,16 +166,40 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             mats[mi] = _expand_attach_dense(*probes[pi][:4], mats[mi],
                                             lr[fresh], out)
             ic[mi] = probes[pi][4]
+        elif k == "spec_pair":
+            # speculative case-1 expansion: probe + expand at a stats-
+            # estimated size inside the SAME program; ok-flag verifies
+            _, mi, s1, s2, out = op
+            pr = _probe_rows_dense(cols[ci], lr[s1], lc[s1], cols[ci + 1],
+                                   lr[s2], lc[s2], domain)
+            ci += 2
+            total = pr[4]
+            mats[mi] = _expand_pair_dense(*pr[:4], lr[s1], lr[s2], out)
+            ic[mi] = total
+            flags.append(total == 0)
+            specs.append((total >= 0) & (total <= out))
+        elif k == "spec_attach":
+            _, mi, full_row, fresh, out = op
+            pr = _probe_matrix_dense(cols[ci], mats[mi], np.int32(full_row),
+                                     ic[mi], cols[ci + 1], lr[fresh],
+                                     lc[fresh], domain)
+            ci += 2
+            total = pr[4]
+            mats[mi] = _expand_attach_dense(*pr[:4], mats[mi], lr[fresh],
+                                            out)
+            ic[mi] = total
+            flags.append(total == 0)
+            specs.append((total >= 0) & (total <= out))
         elif k == "terminal":
             (_, mi, ex_kind, ex_slots, full_row, proj_specs, n_cols,
-             mult_row) = op
+             mult_rows) = op
             col_full, col_fresh_join = cols[ci], cols[ci + 1]
             fresh_slot, rows_slot = ex_slots
             src = mats[mi] if ex_kind == "mat" else lr[rows_slot]
             cnt = ic[mi] if ex_kind == "mat" else lc[rows_slot]
             pc = tuple(cols[ci + 2:ci + 2 + n_cols])
             ci += 2 + n_cols
-            mult = mats[mi][mult_row] if mult_row is not None else None
+            mult = _mult_of(mi, mult_rows) if mult_rows else None
             empty, outs = terminal_join_and_project(
                 src, cnt, lr[fresh_slot], lc[fresh_slot], col_full,
                 col_fresh_join, pc, (ex_kind, full_row, proj_specs), domain,
@@ -188,16 +233,35 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
                                                              mode="drop")
             ic[mi] = ncnt
         elif k == "project_defer":
-            _, mi, full_row, tf_slot, lv_row, d_slot = op
+            _, mi, full_row, tf_slot, lv_row, d_slot, excl = op
             col_full_t, col_join_tf = cols[ci], cols[ci + 1]
             col_join_d, col_proj = cols[ci + 2], cols[ci + 3]
             ci += 4
             counts_t, _ = _dense_counts(col_full_t[mats[mi][full_row]],
                                         ic[mi], col_join_tf[lr[tf_slot]],
                                         lc[tf_slot], domain)
+            w = counts_t * _mult_of(mi, excl) if excl else counts_t
             partials.append(_fresh_sum_weighted(
                 col_proj, col_join_d, lr[d_slot], lc[d_slot],
-                mats[mi][lv_row], counts_t, ic[mi], domain))
+                mats[mi][lv_row], w, ic[mi], domain))
+        elif k == "project_defer_nt":
+            # deferred-slot projection with NO terminal join: weights are
+            # the product of the OTHER deferred multiplicities (ones if
+            # this is the only deferral)
+            _, mi, lv_row, d_slot, excl = op
+            col_join_d, col_proj = cols[ci], cols[ci + 1]
+            ci += 2
+            w = (_mult_of(mi, excl) if excl
+                 else jnp.ones(mats[mi].shape[1], jnp.int32))
+            partials.append(_fresh_sum_weighted(
+                col_proj, col_join_d, lr[d_slot], lc[d_slot],
+                mats[mi][lv_row], w, ic[mi], domain))
+        elif k == "project_w":
+            # intermediate projection weighted by deferred multiplicities
+            _, mi, row, mult_rows = op
+            partials.append(weighted_partials(
+                cols[ci][mats[mi][row]], _mult_of(mi, mult_rows), ic[mi]))
+            ci += 1
         elif k == "project":
             _, mi, row = op
             partials.append(_gather_partials(cols[ci], mats[mi][row],
@@ -208,4 +272,4 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
     t_slots, t_mats = touched_state(plan)
     return (tuple(lr[s] for s in t_slots), tuple(lc[s] for s in t_slots),
             tuple(mats[m] for m in t_mats), tuple(ic[m] for m in t_mats),
-            tuple(probes_out), tuple(flags), tuple(partials))
+            tuple(probes_out), tuple(flags), tuple(partials), tuple(specs))
