@@ -25,6 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def partition_by_digit(digit: jax.Array, payloads, n_bins: int):
+    """Stably partition any number of aligned payload arrays by a
+    precomputed digit vector (dead lanes carry digit == n_bins, sorting
+    last). One stable sort + gathers — the fused equivalent of the
+    reference's histogram + prefix-sum + scatter + serial gather
+    (structs.cpp:111-134,182-194).
+
+    Returns (partitioned payloads tuple, hist, offsets)."""
+    order = jnp.argsort(digit, stable=True).astype(jnp.int32)
+    hist = jnp.zeros(n_bins, jnp.int32).at[digit].add(1, mode="drop")
+    offsets = jnp.cumsum(hist) - hist
+    return tuple(p[order] for p in payloads), hist, offsets
+
+
 @partial(jax.jit, static_argnames=("n_bins",))
 def radix_partition(vals: jax.Array, rowids: jax.Array, count,
                     n_bins: int):
@@ -41,9 +55,6 @@ def radix_partition(vals: jax.Array, rowids: jax.Array, count,
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     live = idx < count
     digit = jnp.where(live, vals & np.int32(n_bins - 1), np.int32(n_bins))
-    # one stable sort moves every row to its partition slot — the fused
-    # equivalent of histogram + prefix-sum + scatter + gather
-    order = jnp.argsort(digit, stable=True).astype(jnp.int32)
-    hist = jnp.zeros(n_bins, jnp.int32).at[digit].add(1, mode="drop")
-    offsets = jnp.cumsum(hist) - hist
-    return vals[order], rowids[order], hist, offsets
+    (vp, rp), hist, offsets = partition_by_digit(digit, (vals, rowids),
+                                                 n_bins)
+    return vp, rp, hist, offsets

@@ -50,6 +50,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import filter_live
 from ..ops.join import RIGHT_SENTINEL, _total_or_overflow, expand_pairs
+from ..ops.radix_partition import partition_by_digit
 from ..utils.limbs import CHUNK
 from .dist_join import LEFT_SENTINEL
 
@@ -87,17 +88,19 @@ def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
     """Stable per-destination binning of (value, rowid) pairs by digit
     (vals % n_dest); dead lanes are pre-sentineled values. capacity >= the
     lane count, so nothing can drop — the level-0 scatter of the two-level
-    radix (cross-chip analog of structs.cpp:123-134), carrying rowids."""
+    radix (cross-chip analog of structs.cpp:123-134), carrying rowids.
+
+    One stable digit sort + strided gathers (ops/radix_partition.py)
+    instead of n_dest scan+scatter passes."""
+    n = vals.shape[0]
     live = vals != sentinel
     digit = jnp.where(live, vals % np.int32(n_dest), np.int32(n_dest))
-    vbins = jnp.full((n_dest, capacity), sentinel, dtype=jnp.int32)
-    rbins = jnp.zeros((n_dest, capacity), dtype=jnp.int32)
-    for d in range(n_dest):
-        m = digit == d
-        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-        dest = jnp.where(m, pos, np.int32(capacity))
-        vbins = vbins.at[d, dest].set(vals, mode="drop")
-        rbins = rbins.at[d, dest].set(rows, mode="drop")
+    (vp, rp), hist, offs = partition_by_digit(digit, (vals, rows), n_dest)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_dest, capacity), 1)
+    src = jnp.clip(offs[:, None] + j, 0, n - 1)
+    valid = j < hist[:, None]
+    vbins = jnp.where(valid, vp[src], sentinel)
+    rbins = jnp.where(valid, rp[src], 0)
     return vbins, rbins
 
 

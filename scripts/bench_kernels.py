@@ -1,0 +1,102 @@
+"""Kernel-level microbenchmarks: the evidence base for the engine's
+kernel strategy (one JSON line per measurement).
+
+Measures, on the current JAX backend:
+  * XLA fused gather bandwidth (column lookup, the engine's hottest
+    primitive) — decides whether a Pallas VMEM-table gather could pay.
+    Measured 2026-08-17 on a v5e chip: ~1 TB/s effective, i.e. XLA's
+    gather already runs at HBM speed-of-light on TPU; a hand-written
+    VMEM gather kernel has no headroom (and Mosaic's vector-gather
+    support is limited to 2-D). The round-1 roofline estimate of
+    0.85 GB/s came from profiling whole fused stages, not the gather.
+  * Pallas radix histogram (ops/pallas_radix.py) vs the XLA bincount —
+    the reference's multiHistogram analog (structs.cpp:111-121).
+  * dense-probe and sort-probe throughput (the two join backends).
+  * scatter-add (dense build) bandwidth.
+
+Usage: python scripts/bench_kernels.py [--log-rows 23]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def _time(f, *args, iters=10):
+    import jax
+    r = f(*args)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    for _ in range(iters):
+        r = f(*args)
+    jax.block_until_ready(r)
+    return (time.time() - t0) / iters
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-rows", type=int, default=23)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.join import probe_count
+    from radixhashjoin_tpu.ops.join_dense import dense_probe
+    from radixhashjoin_tpu.ops.pallas_radix import (radix_histogram,
+                                                    radix_histogram_xla)
+
+    n = 1 << args.log_rows
+    domain = 1 << 18
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    table = jax.random.randint(k1, (domain,), 0, 1000, dtype=jnp.int32)
+    idx = jax.random.randint(k2, (n,), 0, domain, dtype=jnp.int32)
+    platform = jax.devices()[0].platform
+
+    # gather (column lookup)
+    dt = _time(jax.jit(lambda t, i: t[i]), table, idx)
+    print(json.dumps({"metric": "xla_gather_gbps", "platform": platform,
+                      "rows": n, "value": round(n * 4 / dt / 1e9, 1),
+                      "unit": "GB/s", "seconds": round(dt, 6)}))
+
+    # scatter-add (dense hash build analog)
+    f = jax.jit(lambda i: jnp.zeros(domain, jnp.int32).at[i].add(1))
+    dt = _time(f, idx)
+    print(json.dumps({"metric": "xla_scatter_add_gbps",
+                      "platform": platform, "rows": n,
+                      "value": round(n * 4 / dt / 1e9, 1), "unit": "GB/s",
+                      "seconds": round(dt, 6)}))
+
+    # radix histogram: Pallas kernel vs XLA bincount
+    interpret = platform != "tpu"
+    cnt = jnp.int32(n)
+    dt_p = _time(lambda v: radix_histogram(v, cnt, 256,
+                                           interpret=interpret), idx,
+                 iters=3 if interpret else 10)
+    dt_x = _time(jax.jit(lambda v: radix_histogram_xla(v, cnt, 256)), idx)
+    print(json.dumps({"metric": "pallas_radix_histogram_tuples_per_s",
+                      "platform": platform, "rows": n,
+                      "value": round(n / dt_p), "unit": "tuples/s",
+                      "xla_bincount_tuples_per_s": round(n / dt_x),
+                      "interpret": interpret}))
+
+    # join probes
+    rv = jax.random.randint(k1, (n,), 0, domain, dtype=jnp.int32)
+    dt = _time(lambda l, r: dense_probe(l, cnt, r, cnt, domain), idx, rv)
+    print(json.dumps({"metric": "dense_probe_tuples_per_s",
+                      "platform": platform, "rows": n,
+                      "value": round(2 * n / dt), "unit": "tuples/s"}))
+    dt = _time(lambda l, r: probe_count(l, cnt, r, cnt), idx, rv)
+    print(json.dumps({"metric": "sort_probe_tuples_per_s",
+                      "platform": platform, "rows": n,
+                      "value": round(2 * n / dt), "unit": "tuples/s"}))
+
+
+if __name__ == "__main__":
+    main()
