@@ -49,6 +49,13 @@ def probe_count(lvals: jax.Array, lcount: jax.Array,
                 rvals: jax.Array, rcount: jax.Array):
     """Count matches per left element.
 
+    ONE stable sort of the combined [right, left] value vector + O(n)
+    segmented scans — vs the naive sort(R) + two searchsorted calls
+    (each a sort of L+R under method='sort'), ~3x the sort work for
+    identical outputs. Within a tie run the stable sort places rights
+    (lower input index) before lefts, so an inclusive right-count scan
+    read at a left's position gives lo + matches directly.
+
     Returns (order, lo, offsets, cum, total):
       order   — int32[R] argsort of the (sentinel-masked) right values
       lo      — int32[L] first match position of each left value in sorted right
@@ -63,14 +70,26 @@ def probe_count(lvals: jax.Array, lcount: jax.Array,
     ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
     lv = jnp.where(li < lcount, lvals, np.int32(-1))
     rv = jnp.where(ri < rcount, rvals, RIGHT_SENTINEL)
-    order = jnp.argsort(rv).astype(jnp.int32)
-    rs = rv[order]
-    # method='sort': the default 'scan' binary search is gather-bound and
-    # ~7x slower on TPU at multi-million-element shapes
-    lo = jnp.searchsorted(rs, lv, side="left", method="sort").astype(jnp.int32)
-    hi = jnp.searchsorted(rs, lv, side="right",
-                          method="sort").astype(jnp.int32)
-    counts = hi - lo
+    n = L + R
+    k = jnp.concatenate([rv, lv])
+    ord_all = jnp.argsort(k, stable=True).astype(jnp.int32)
+    s = k[ord_all]
+    isr = (ord_all < R).astype(jnp.int32)
+    rr = jnp.cumsum(isr)                      # rights at positions <= i
+    e = rr - isr                              # rights strictly before i
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    new = jnp.concatenate([jnp.ones(1, jnp.bool_), s[1:] != s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(new, pos, np.int32(0)))
+    lo_at = e[run_start]                      # rights before this value run
+    cnt_at = rr - lo_at                       # rights in run up to i (= all,
+    #                                           since rights precede lefts)
+    # scatter back to original operand order
+    lsrc = ord_all - R                        # left original index (if left)
+    ldest = jnp.where(isr == 0, lsrc, np.int32(L))
+    lo = jnp.zeros(L, jnp.int32).at[ldest].set(lo_at, mode="drop")
+    counts = jnp.zeros(L, jnp.int32).at[ldest].set(cnt_at, mode="drop")
+    order = jnp.zeros(R, jnp.int32).at[
+        jnp.where(isr == 1, e, np.int32(R))].set(ord_all, mode="drop")
     cum = jnp.cumsum(counts)
     offsets = cum - counts
     return order, lo, offsets, cum, _total_or_overflow(cum)

@@ -87,9 +87,15 @@ def main() -> None:
     per = n // ndev
     lz = zipf_keys(k3, n, n_keys)
     counts = jnp.full(ndev, per, dtype=jnp.int32)
+    # verify-and-retry capacity sizing (the engine's discipline): double
+    # the per-destination exchange capacity until nothing overflows
     capacity = max(2 * per // ndev, 1024)
-    out = dist_join_skewaware(mesh, lz, counts, rv, counts,
-                              capacity=capacity, heavy_fraction=0.2)
+    while True:
+        out = dist_join_skewaware(mesh, lz, counts, rv, counts,
+                                  capacity=capacity, heavy_fraction=0.2)
+        if int(out[3]) == 0:
+            break
+        capacity *= 2
     pairs = int(out[0])
     t0 = time.time()
     for _ in range(iters):
