@@ -97,6 +97,26 @@ def main() -> None:
                       "platform": platform, "rows": n,
                       "value": round(2 * n / dt), "unit": "tuples/s"}))
 
+    # Pallas one-pass partition + radix sort vs XLA argsort (the honest
+    # comparison behind keeping jnp.argsort in the probe: the one-hot
+    # rank kernel is correct on TPU but O(n_bins)/element — see
+    # ops/pallas_partition.py docstring)
+    from radixhashjoin_tpu.ops.pallas_partition import (partition_order,
+                                                        radix_sort_order)
+    digits = jax.random.randint(k2, (n,), 0, 256, dtype=jnp.int32)
+    iters = 2 if interpret else 5
+    dt_p = _time(lambda d: partition_order(d, 256, interpret=interpret)[0],
+                 digits, iters=iters)
+    dt_s = _time(lambda k: radix_sort_order(k, 18, 9, interpret=interpret),
+                 idx, iters=iters)
+    dt_a = _time(jax.jit(lambda k: jnp.argsort(k, stable=True)), idx)
+    print(json.dumps({"metric": "pallas_partition_tuples_per_s",
+                      "platform": platform, "rows": n,
+                      "value": round(n / dt_p), "unit": "tuples/s",
+                      "radix_sort_18bit_tuples_per_s": round(n / dt_s),
+                      "xla_argsort_tuples_per_s": round(n / dt_a),
+                      "interpret": interpret}))
+
 
 if __name__ == "__main__":
     main()
