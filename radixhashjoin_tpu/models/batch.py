@@ -47,7 +47,7 @@ from ..ops.terminal import (combine_fresh_partials,
                             terminal_join_and_project)
 from ..storage import Relation
 from ..utils.limbs import combine_limb_partials, combine_weighted_partials
-from ..utils.profiling import OpProfiler, arr_bytes
+from ..utils.profiling import OpProfiler
 from ..workload import Query
 from .device_catalog import DeviceCatalog
 from .planner import _propagate_join, _rough_filter_estimate
@@ -132,14 +132,14 @@ class BatchExecutor:
                 rows, cnt = self.profiler.record(
                     "filter",
                     filter_full(col, np.int32(n), const, opc, cat.bucket(n)),
-                    arr_bytes(col) * 2)
+                    (col,))
                 pristine.discard(f.slot)
             else:
                 rows, cnt = self.profiler.record(
                     "filter",
                     filter_live(st.live_rows[f.slot], st.live_cnt[f.slot],
                                 col, const, opc),
-                    arr_bytes(st.live_rows[f.slot], col) * 2)
+                    (st.live_rows[f.slot],))   # col is point-gathered, not scanned
             st.live_rows[f.slot], st.live_cnt[f.slot] = rows, cnt
             st.flags.append(cnt == 0)   # device bool; NULL if ever true
         return st
@@ -165,7 +165,7 @@ class BatchExecutor:
                     "eq_filter",
                     eq_filter_rows(colA, colB, st.live_rows[s1],
                                    st.live_cnt[s1]),
-                    arr_bytes(st.live_rows[s1]) * 3)
+                    (st.live_rows[s1],))
                 st.mat = rows[None]
                 st.slot_row = {s1: 0}
                 st.icount = cnt
@@ -174,7 +174,7 @@ class BatchExecutor:
                     "eq_filter",
                     eq_filter_matrix(colA, colB, st.mat, st.slot_row[s1],
                                      st.slot_row[s2], st.icount),
-                    arr_bytes(st.mat) * 2)
+                    (st.mat,))
                 st.mat, st.icount = mat, cnt
             return False
 
@@ -188,7 +188,7 @@ class BatchExecutor:
                 "eq_filter",
                 eq_filter_matrix(colA, colB, st.mat, st.slot_row[s1],
                                  st.slot_row[s2], st.icount),
-                arr_bytes(st.mat) * 2)
+                (st.mat,))
             st.mat, st.icount = mat, cnt
             st.flags.append(~nonempty)
             return False
@@ -241,7 +241,7 @@ class BatchExecutor:
                     ex_source, icount, st.live_rows[fresh],
                     st.live_cnt[fresh], col_full, col_fresh, tuple(cols),
                     plan, domain),
-                arr_bytes(ex_source, st.live_rows[fresh]) * 3)
+                (ex_source, st.live_rows[fresh]))
             st.flags.append(empty)
             oi = 0
             for npl in plane_n:
@@ -262,7 +262,7 @@ class BatchExecutor:
                 self.join.probe_rows(colA, st.live_rows[s1],
                                      st.live_cnt[s1], colB,
                                      st.live_rows[s2], st.live_cnt[s2]),
-                arr_bytes(st.live_rows[s1], st.live_rows[s2]) * 4)
+                (st.live_rows[s1], st.live_rows[s2]))
             st.fresh_slot = None
         else:
             # case 2: probe intermediate (full side) against fresh live set
@@ -277,7 +277,7 @@ class BatchExecutor:
                                        st.icount, col_fresh,
                                        st.live_rows[fresh],
                                        st.live_cnt[fresh]),
-                arr_bytes(st.mat[0], st.live_rows[fresh]) * 4)
+                (st.mat[0], st.live_rows[fresh]))
             st.fresh_slot = fresh
         return True
 
@@ -299,7 +299,7 @@ class BatchExecutor:
                 self.join.expand_fresh_pair(order, lo, off, cum,
                                             st.live_rows[j.slot1],
                                             st.live_rows[j.slot2], out_size),
-                arr_bytes(order, lo) + 8 * out_size)
+                (order, lo))
             st.slot_row = {j.slot1: 0, j.slot2: 1}
         else:
             st.mat = self.profiler.record(
@@ -307,8 +307,7 @@ class BatchExecutor:
                 self.join.expand_attach_fresh(
                     order, lo, off, cum, st.mat,
                     st.live_rows[st.fresh_slot], out_size),
-                arr_bytes(order, lo, st.mat) +
-                4 * out_size * (st.mat.shape[0] + 1))
+                (order, lo, st.mat))
             st.slot_row[st.fresh_slot] = st.mat.shape[0] - 1
         st.icount = np.int32(total)
         st.probe = None
@@ -328,7 +327,7 @@ class BatchExecutor:
                     "aggregate",
                     gather_partials_matrix(plane, st.mat, np.int32(row),
                                            st.icount),
-                    arr_bytes(st.mat[0]) * 2), sh))
+                    (st.mat[0],)), sh))
             st.sums.append(parts)
 
     # ---- speculative expansion sizing (models/stats.py estimator) ----
@@ -639,7 +638,7 @@ class BatchExecutor:
             run_stage(tuple(live_in), tuple(cnt_in), tuple(mats_in),
                       tuple(ic_in), tuple(probes_in), tuple(cols),
                       tuple(vals), plan_t, self.catalog.domain),
-            0)
+            tuple(live_in) + tuple(mats_in))
         lr, lc, mats, ics, probes_out, flags, partials, specs = out
         t_slots, t_mats = touched_state(plan_t)
         slot_new = dict(zip(t_slots, zip(lr, lc)))

@@ -49,11 +49,17 @@ class OpProfiler:
         self.enabled = enabled
         self.ops: Dict[str, OpStats] = defaultdict(OpStats)
 
-    def record(self, name: str, result, nbytes: int = 0):
+    def record(self, name: str, result, inputs=()):
         """Time `result` to completion and account it to `name`.
 
-        nbytes: caller's estimate of HBM bytes the op touches (inputs +
-        outputs); used for the roofline column.
+        Bytes = exact nbytes of `inputs` plus every array in the result
+        tree — not a hand multiplier. Callers pass only the arrays the
+        op scans in full (a table that is merely point-gathered at k
+        positions is omitted; its ~k-element traffic is captured by the
+        same-width index/output arrays). This is a lower bound on HBM
+        traffic — XLA materializes at least inputs+outputs, and fusion
+        only removes intermediate traffic — so the roofline column is a
+        conservative % of speed-of-light.
         """
         if not self.enabled:
             return result
@@ -63,7 +69,8 @@ class OpProfiler:
         s = self.ops[name]
         s.calls += 1
         s.seconds += dt
-        s.bytes += nbytes
+        s.bytes += arr_bytes(*inputs) + arr_bytes(
+            *jax.tree_util.tree_leaves(result))
         return result
 
     def report(self) -> str:
