@@ -26,5 +26,19 @@ def test_pow2():
 
 def test_profiler_report_disabled_is_noop():
     p = OpProfiler(False)
-    assert p.record("x", 42, 10) == 42
+    assert p.record("x", 42, (None,)) == 42
     assert p.report() == "(no ops recorded)"
+
+
+def test_profiler_counts_input_and_output_bytes():
+    import jax.numpy as jnp
+    p = OpProfiler(True)
+    x = jnp.zeros(1000, jnp.int32)
+    out = (jnp.zeros(500, jnp.int32), jnp.zeros((), jnp.int32))
+    got = p.record("op", out, (x,))
+    assert got is out
+    s = p.ops["op"]
+    assert s.calls == 1 and s.seconds > 0
+    # bytes = input (4000) + result leaves (2000 + 4), exact
+    assert s.bytes == 4000 + 2000 + 4
+    assert "op" in p.report()
