@@ -77,6 +77,24 @@ def main() -> None:
         "value": round(2 * n / dt), "unit": "tuples/s",
         "seconds": round(dt, 4)}))
 
+    # --- config: FK-shaped single-chip join (unique build side: the
+    # fact->dimension shape of most production joins; the dense probe's
+    # scatter-claim ordering resolves it in one round, no sort) ---
+    rv_fk = jax.random.permutation(k3, n_keys).astype(jnp.int32)  # dimension
+    rcnt = jnp.int32(n_keys)
+    r = dense_probe(lv, cnt, rv_fk, rcnt, domain)   # compile + warm
+    total = int(r[4])
+    t0 = time.time()
+    for _ in range(iters):
+        r = dense_probe(lv, cnt, rv_fk, rcnt, domain)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "dense_probe_fk_tuples_per_s",
+        "fact_rows": n, "dim_rows": n_keys, "output_pairs": total,
+        "value": round((n + n_keys) / dt), "unit": "tuples/s",
+        "seconds": round(dt, 4)}))
+
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:
         return
