@@ -34,53 +34,14 @@ import numpy as np
 
 from .join import _total_or_overflow
 
-# Duplicate-rank bound for the scatter-claim ordering below; each round
-# costs ~4 O(R) passes, a full argsort costs ~500 R-sized passes at 8M
-# rows on a v5e, so the claim loop wins up to ~64 rounds with margin.
-CLAIM_MAX_ROUNDS = 64
-
-
-def _grouped_order(rv, ri, t_lo, rcount, R: int, maxmult):
-    """int32[R] permutation grouping right indices by value: positions
-    t_lo[v]..t_lo[v]+cnt[v]-1 hold the indices with value v, ascending
-    (identical to a stable value argsort on live lanes, which is all any
-    consumer reads — dead lanes are never gathered).
-
-    The sort is replaced by a scatter-claim loop: in round r, the
-    unclaimed elements of each value collide on position t_lo[v]+r and a
-    scatter-min elects the smallest index, which is exactly the rank-r
-    element; rounds = max duplicate multiplicity. A join on keys
-    (multiplicity 1) resolves in one round — ~4 O(R) passes instead of
-    XLA's full bitonic argsort. Heavy skew falls back to the argsort.
-    """
-    base = jnp.where(ri < rcount, t_lo[jnp.clip(rv, 0, t_lo.shape[0] - 1)],
-                     np.int32(R))
-
-    def by_claim(_):
-        def cond(state):
-            r, claimed, _ = state
-            return (r <= maxmult) & ~jnp.all(claimed)
-
-        def body(state):
-            r, claimed, order = state
-            pos = jnp.where(claimed, np.int32(R), base + r)
-            cand = jnp.full(R, np.int32(2**31 - 1), jnp.int32) \
-                      .at[pos].min(ri, mode="drop")
-            won = ~claimed & (cand[jnp.clip(pos, 0, R - 1)] == ri)
-            order = order.at[jnp.where(won, pos, np.int32(R))].set(
-                ri, mode="drop")
-            return r + 1, claimed | won, order
-
-        _, _, order = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), ri >= rcount, jnp.zeros(R, jnp.int32)))
-        return order
-
-    def by_sort(_):
-        return jnp.argsort(rv).astype(jnp.int32)
-
-    return jax.lax.cond(maxmult <= CLAIM_MAX_ROUNDS, by_claim, by_sort,
-                        np.int32(0))
+# NOTE (measured, v5e, 2026-08-17): a scatter-claim construction of
+# `order` — round r scatter-min-elects the rank-r element of each value,
+# skipping the sort entirely — was built, verified exact, and measured
+# 20x SLOWER than the argsort at 2^23 rows (3.2M vs ~60M tuples/s):
+# XLA lowers non-unique-index scatter at ~bincount speed (~110M
+# updates/s), not the 820 GB/s unique-index fast path, so each claim
+# round costs as much as a full sort pass. jnp.argsort stays.
+# (git history: "Scatter-claim grouped order replaces argsort".)
 
 
 @partial(jax.jit, static_argnames=("domain",))
@@ -92,8 +53,8 @@ def dense_probe(lvals, lcount, rvals, rcount, domain: int):
     rv = jnp.where(ri < rcount, rvals, np.int32(domain))      # dead -> drop
     t_cnt = jnp.zeros(domain, jnp.int32).at[rv].add(1, mode="drop")
     t_lo = jnp.cumsum(t_cnt) - t_cnt
-    # value-grouped right permutation (dead lanes never read downstream)
-    order = _grouped_order(rv, ri, t_lo, rcount, R, jnp.max(t_cnt))
+    # stable value-sort of the right side; dead lanes (= domain) sort last
+    order = jnp.argsort(rv).astype(jnp.int32)
     lv = jnp.where(li < lcount, lvals, np.int32(-1))
     lv_safe = jnp.clip(lv, 0, domain - 1)
     counts = jnp.where(lv >= 0, t_cnt[lv_safe], 0)

@@ -64,37 +64,3 @@ def test_dense_any_common():
     assert not bool(dense_any_common(a, b, jnp.int32(1), DOMAIN))
     b2 = jnp.asarray(pad_to(np.array([9, 9, 9], dtype=np.int32), 1024, 0))
     assert not bool(dense_any_common(a, b2, jnp.int32(3), DOMAIN))
-
-
-@pytest.mark.parametrize("seed,R,vmax", [
-    (3, 500, 7),      # claim loop, mixed multiplicities
-    (4, 1000, 4),     # multiplicity ~250 > CLAIM_MAX_ROUNDS: argsort fallback
-    (5, 700, 700),    # near-unique: 1-2 claim rounds
-])
-def test_grouped_order_matches_stable_argsort(seed, R, vmax):
-    """_grouped_order must equal a stable value argsort on every live
-    position (dead positions are never read downstream)."""
-    from radixhashjoin_tpu.ops.join_dense import _grouped_order
-
-    rng = np.random.default_rng(seed)
-    rv_np = rng.integers(0, vmax, R).astype(np.int32)
-    Rpad = 1024
-    ri = jnp.arange(Rpad, dtype=jnp.int32)
-    rv = jnp.asarray(pad_to(rv_np, Rpad, 0))
-    rvm = jnp.where(ri < R, rv, np.int32(DOMAIN))
-    t_cnt = jnp.zeros(DOMAIN, jnp.int32).at[rvm].add(1, mode="drop")
-    t_lo = jnp.cumsum(t_cnt) - t_cnt
-    got = np.asarray(_grouped_order(rvm, ri, t_lo, jnp.int32(R), Rpad,
-                                    jnp.max(t_cnt)))
-    want = np.argsort(rv_np, kind="stable")
-    np.testing.assert_array_equal(got[:R], want)
-
-
-def test_grouped_order_empty_right():
-    from radixhashjoin_tpu.ops.join_dense import _grouped_order
-    Rpad = 128
-    ri = jnp.arange(Rpad, dtype=jnp.int32)
-    rvm = jnp.full(Rpad, DOMAIN, jnp.int32)
-    t_cnt = jnp.zeros(DOMAIN, jnp.int32)
-    got = _grouped_order(rvm, ri, t_cnt, jnp.int32(0), Rpad, jnp.int32(0))
-    assert got.shape == (Rpad,)   # loop exits round 0; values never read
