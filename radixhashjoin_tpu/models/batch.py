@@ -55,6 +55,17 @@ from .stats import estimate_join_output, seed_stats
 
 _U64_MASK = (1 << 64) - 1
 
+
+@jax.jit
+def _assemble_sweep(bools, parts):
+    """Pack every NULL/spec flag and folded sum partial of a batch into
+    one flat int32 vector — the batch's single device->host readback.
+    One trace per distinct batch structure (pytree of scalars + folded
+    partial shapes); the golden workload has 5."""
+    segs = [jnp.stack(bools).astype(jnp.int32)] if bools else []
+    segs += [p.reshape(-1) for p in parts]
+    return jnp.concatenate(segs)
+
 # sentinel: a query whose speculative expansion under-sized (device spec
 # flag False) — rerun on the exact readback path
 _RETRY = object()
@@ -754,16 +765,21 @@ class BatchExecutor:
         # Spec flags are read for null-marked states too: a host NULL
         # decision taken downstream of an under-sized speculative
         # expansion is unreliable and must retry.
+        # The whole assembly is ONE jitted program (eager stack/reshape/
+        # concat here used to issue ~400 tiny dispatches, ~90 ms on the
+        # axon transport) and, with partials folded on device
+        # (utils/limbs.py:fold_partials), the single readback fetches a
+        # few KB instead of tens of MB at the tunnel's ~3 MB/s.
         all_flags = [f for st in states if not st.null for f in st.flags]
         all_specs = [f for st in states for f in st.spec_flags]
-        parts = [e[1].reshape(-1) for st in states if not st.null
+        parts = [e[1] for st in states if not st.null
                  for s in st.sums for e in s]
-        bools = all_flags + all_specs
-        pieces = ([jnp.stack(bools).astype(jnp.int32)] if bools
-                  else []) + parts
         self.counters["readbacks"] += 1
-        combined = (np.asarray(jnp.concatenate(pieces)) if pieces
-                    else np.zeros(0, np.int32))
+        if all_flags or all_specs or parts:
+            combined = np.asarray(_assemble_sweep(
+                tuple(all_flags) + tuple(all_specs), tuple(parts)))
+        else:
+            combined = np.zeros(0, np.int32)
         nf, ns = len(all_flags), len(all_specs)
         flags_np = combined[:nf] != 0
         specs_np = combined[nf:nf + ns] != 0

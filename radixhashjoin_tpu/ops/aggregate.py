@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.limbs import CHUNK, combine_limb_partials
+from ..utils.limbs import CHUNK, combine_limb_partials, fold_partials
 
 
 @jax.jit
@@ -25,7 +25,7 @@ def _gather_partials(col: jax.Array, rows: jax.Array, count: jax.Array):
     hi = vals >> 16
     lo_p = lo.reshape(n // CHUNK, CHUNK).sum(axis=1, dtype=jnp.int32)
     hi_p = hi.reshape(n // CHUNK, CHUNK).sum(axis=1, dtype=jnp.int32)
-    return jnp.stack([lo_p, hi_p])
+    return fold_partials(jnp.stack([lo_p, hi_p]))
 
 
 @jax.jit

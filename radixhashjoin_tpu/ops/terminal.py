@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.limbs import weighted_partials
+from ..utils.limbs import fold_partials, weighted_partials
+from ..utils.limbs import _rowsum
 
 
 def _dense_counts(lv, icount, rv, rcount, domain):
@@ -107,7 +108,7 @@ def _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
         lo = (s1 & 0xFFFF).reshape(m // c2, c2).sum(axis=1, dtype=jnp.int32)
         hi = (s1 >> 16).reshape(m // c2, c2).sum(axis=1, dtype=jnp.int32)
         outs.append(jnp.stack([lo, hi]))
-    return jnp.stack(outs)
+    return fold_partials(jnp.stack(outs))
 
 
 @partial(jax.jit, static_argnames=("domain",))
@@ -116,7 +117,7 @@ def terminal_sum_fresh(col_proj, col_join, fresh_rows, fresh_cnt,
     """sum over existing rows e of T[lvm[e]] where T[v] = sum of
     col_proj over live fresh rows with col_join == v.
 
-    Returns (3, 2, m) int32 partials; combine with
+    Returns (3, 2, 2) folded int32 partials; combine with
     combine_fresh_partials on the host."""
     return _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
                            lvm, icount, domain)
@@ -126,8 +127,8 @@ def _fresh_sum_weighted(col_proj, col_join, fresh_rows, fresh_cnt,
                         lvm, weights, icount, domain):
     """sum over existing rows e of weights[e] * T[lvm[e]] — the
     multiplicity-weighted fresh-side reduction (used when a deferred
-    middle attach left a `mult` row). Returns (3, 5, m) int32 partials
-    (per 11-bit T channel, weighted_partials layout)."""
+    middle attach left a `mult` row). Returns (3, 5, 2) folded int32
+    partials (per 11-bit T channel, weighted_partials layout)."""
     R = fresh_rows.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
     live_r = ri < fresh_cnt
@@ -147,7 +148,7 @@ def _fresh_sum_weighted(col_proj, col_join, fresh_rows, fresh_cnt,
 
 
 def combine_fresh_w_partials(partials: np.ndarray) -> int:
-    """Host combiner for _fresh_sum_weighted output (3, 5, m)."""
+    """Host combiner for _fresh_sum_weighted output (3, 5, 2) folded."""
     from ..utils.limbs import combine_weighted_partials
     p = np.asarray(partials)
     total = 0
@@ -213,11 +214,9 @@ _U64_MASK = (1 << 64) - 1
 
 
 def combine_fresh_partials(partials: np.ndarray) -> int:
-    """Host combiner for terminal_sum_fresh output (3, 2, m)."""
+    """Host combiner for terminal_sum_fresh output (3, 2, 2) folded."""
     p = np.asarray(partials)
     total = 0
     for c, shift in enumerate((0, _L0, _L0 + _L1)):
-        lo = int(p[c, 0].astype(np.int64).sum())
-        hi = int(p[c, 1].astype(np.int64).sum())
-        total += ((lo + (hi << 16)) << shift)
+        total += ((_rowsum(p[c, 0]) + (_rowsum(p[c, 1]) << 16)) << shift)
     return total & _U64_MASK

@@ -51,7 +51,7 @@ from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import filter_live
 from ..ops.join import RIGHT_SENTINEL, _total_or_overflow, expand_pairs
 from ..ops.radix_partition import partition_by_digit
-from ..utils.limbs import CHUNK
+from ..utils.limbs import CHUNK, fold_partials
 from .dist_join import LEFT_SENTINEL
 
 
@@ -314,11 +314,13 @@ def d_case2_expand(mesh, axis, out_cap: int, mat, frow_all, order, lo, off,
 @partial(jax.jit, static_argnames=("mesh", "axis", "row"))
 def d_project(mesh, axis, row: int, plane, mat, icnts):
     """Exact limb partial sums of plane[mat[row]] over every shard's live
-    prefix, psum'd across the mesh (partials stay far below int32:
-    chunk < 2**26, n_chips adds log2(n) bits)."""
+    prefix, folded per shard then psum'd across the mesh (folded entries
+    < 2**25; the psum adds log2(n_chips) bits — exact to 64 chips). The
+    fold reconstruction is linear, so combine_limb_partials reads the
+    psum'd (2, 2) directly."""
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(None, axis), P(axis)), out_specs=P())
     def body(plane, mat, icnts):
-        return jax.lax.psum(
-            _gather_partials_flat(plane, mat[row], icnts[0]), axis)
+        return jax.lax.psum(fold_partials(
+            _gather_partials_flat(plane, mat[row], icnts[0])), axis)
     return body(plane, mat, icnts)

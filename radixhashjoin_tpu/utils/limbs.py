@@ -21,11 +21,38 @@ CHUNK = 1 << 10
 
 _U64_MASK = (1 << 64) - 1
 
+# ---- device fold of chunk partials to two scalars per limb row ----
+#
+# Measured on the axon transport: the end-of-batch readback costs ~3 MB/s
+# effective, so fetching (k, nchunks) partial tensors dominated the whole
+# workload. Every partial entry is < 2**26, so the chunk axis folds
+# EXACTLY into two int32s [sum(p & 0x1FFF), sum(p >> 13)] for up to 2**18
+# chunks (2**13 * 2**18 = 2**31); the host reconstructs
+# rowsum = lo + (hi << 13) in Python integers. The readback then fetches
+# a few scalars per projection instead of megabytes.
+
+FOLD_SHIFT = 13
+_FOLD_MASK = (1 << FOLD_SHIFT) - 1
+
+
+def fold_partials(p: jax.Array) -> jax.Array:
+    """Fold the chunk axis (last) of nonneg int32 partials (< 2**26) to
+    length-2: [..., 0] = sum of low 13 bits, [..., 1] = sum of high bits."""
+    assert p.shape[-1] <= (1 << 18), p.shape
+    lo = (p & _FOLD_MASK).sum(axis=-1, dtype=jnp.int32)
+    hi = (p >> FOLD_SHIFT).sum(axis=-1, dtype=jnp.int32)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _rowsum(row: np.ndarray) -> int:
+    """Host half of fold_partials: exact row total from [lo, hi]."""
+    return int(row[..., 0]) + (int(row[..., 1]) << FOLD_SHIFT)
+
 
 @jax.jit
 def sum_u32_exact(vals: jax.Array, count: jax.Array) -> jax.Array:
     """Device half: (padded int32 values in [0, 2**31), live count) ->
-    (2, nchunks) int32 limb partial sums. Rows >= count contribute 0.
+    (2, 2) int32 folded limb partial sums. Rows >= count contribute 0.
     Padded length must be a multiple of CHUNK (bucket sizes are powers of 2
     >= 1024, see utils/padding.py).
     """
@@ -37,15 +64,15 @@ def sum_u32_exact(vals: jax.Array, count: jax.Array) -> jax.Array:
     hi = v >> 16
     lo_p = lo.reshape(n // CHUNK, CHUNK).sum(axis=1, dtype=jnp.int32)
     hi_p = hi.reshape(n // CHUNK, CHUNK).sum(axis=1, dtype=jnp.int32)
-    return jnp.stack([lo_p, hi_p])
+    return fold_partials(jnp.stack([lo_p, hi_p]))
 
 
 def combine_limb_partials(partials: np.ndarray) -> int:
-    """Host half: exact u64 (wrapping) total from the limb partials."""
+    """Host half: exact u64 (wrapping) total from folded (2, 2) limb
+    partials (psum'd folds from the distributed path combine the same
+    way — the fold reconstruction is linear)."""
     p = np.asarray(partials)
-    lo = int(p[0].astype(np.int64).sum())
-    hi = int(p[1].astype(np.int64).sum())
-    return (lo + (hi << 16)) & _U64_MASK
+    return (_rowsum(p[0]) + (_rowsum(p[1]) << 16)) & _U64_MASK
 
 
 # ---- exact weighted sums: sum(vals[i] * counts[i]) with both < 2**31 ----
@@ -62,7 +89,7 @@ WCHUNK = 1 << 10   # channel limb < 2**16 -> chunk partial < 2**26
 def weighted_partials(vals: jax.Array, counts: jax.Array,
                       count: jax.Array) -> jax.Array:
     """Device half of exact u64 sum(vals*counts) over the live prefix.
-    Returns (5, nchunks) int32 channels with host weights
+    Returns (5, 2) folded int32 channels with host weights
     [1, 2**16, 2**16, 2**32, 2**32]."""
     n = vals.shape[0]
     assert n % WCHUNK == 0, n
@@ -79,22 +106,23 @@ def weighted_partials(vals: jax.Array, counts: jax.Array,
     def chunks(x):
         return x.reshape(n // WCHUNK, WCHUNK).sum(axis=1, dtype=jnp.int32)
 
-    return jnp.stack([
+    return fold_partials(jnp.stack([
         chunks((p0 & 0xFFFF).astype(jnp.int32)),       # weight 1
         chunks((p0 >> 16).astype(jnp.int32)),          # weight 2**16
         chunks((p1 & 0xFFFF).astype(jnp.int32)),       # weight 2**16
         chunks((p1 >> 16).astype(jnp.int32)),          # weight 2**32
         chunks(p2),                                    # weight 2**32
-    ])
+    ]))
 
 
 _W_WEIGHTS = (1, 1 << 16, 1 << 16, 1 << 32, 1 << 32)
 
 
 def combine_weighted_partials(partials: np.ndarray) -> int:
-    """Host half: exact u64 (wrapping) total of weighted_partials output."""
+    """Host half: exact u64 (wrapping) total of weighted_partials output
+    (folded (5, 2) channels)."""
     p = np.asarray(partials)
     total = 0
     for ch, w in zip(p, _W_WEIGHTS):
-        total += int(ch.astype(np.int64).sum()) * w
+        total += _rowsum(ch) * w
     return total & _U64_MASK
