@@ -42,7 +42,8 @@ from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import filter_full, filter_live
 from ..ops.join import JoinCapacityError
 from ..ops.stage import run_stage, touched_state
-from ..ops.terminal import (combine_fresh_partials,
+from ..ops.terminal import (channel_spec,
+                            combine_fresh_partials,
                             combine_fresh_w_partials,
                             terminal_join_and_project)
 from ..storage import Relation
@@ -216,21 +217,25 @@ class BatchExecutor:
                 ex_source = st.live_rows[s1]
                 icount = st.live_cnt[s1]
                 fresh, col_full, col_fresh = s2, colA, colB
+                fresh_col = c2
                 st.slot_row = {}
                 st.mat = None
             else:
                 if j1:
                     full, fresh, col_full, col_fresh = s1, s2, colA, colB
+                    fresh_col = c2
                 else:
                     full, fresh, col_full, col_fresh = s2, s1, colB, colA
+                    fresh_col = c1
                 ex_kind, ex_slot, full_row = "mat", None, st.slot_row[full]
                 ex_source = st.mat
                 icount = st.icount
 
+            fresh_mult = cat.max_mult(q.slots[fresh], fresh_col)
             specs, cols, shifts, plane_n = [], [], [], []
             for p in q.projections:
                 if p.slot == fresh:
-                    spec = ("fresh",)
+                    spec = "fresh"
                 elif ex_kind == "mat" and p.slot in st.slot_row:
                     spec = ("mat", st.slot_row[p.slot])
                 elif ex_kind == "rows" and p.slot == ex_slot:
@@ -239,9 +244,11 @@ class BatchExecutor:
                     plane_n.append(0)
                     continue
                 planes = cat.proj_planes(q.slots[p.slot], p.col)
+                vmaxes = cat.plane_maxes(q.slots[p.slot], p.col)
                 plane_n.append(len(planes))
-                for plane, sh in planes:
-                    specs.append(spec)
+                for (plane, sh), vmax in zip(planes, vmaxes):
+                    specs.append(("fresh", channel_spec(fresh_mult, vmax))
+                                 if spec == "fresh" else spec)
                     cols.append(plane)
                     shifts.append(sh)
 
@@ -258,8 +265,8 @@ class BatchExecutor:
             for npl in plane_n:
                 parts = []
                 for _ in range(npl):
-                    kind = ("fresh" if specs[oi][0] == "fresh"
-                            else "weighted")
+                    kind = (("fresh", specs[oi][1])
+                            if specs[oi][0] == "fresh" else "weighted")
                     parts.append((kind, outs[oi], shifts[oi]))
                     oi += 1
                 st.sums.append(parts)
@@ -392,7 +399,7 @@ class BatchExecutor:
                 else:
                     plan.append(("flive", f.slot + slot_off, opc))
                 cols.append(col)
-                vals.append(const)
+                vals.append(cat.scalar(int(const)))
                 n_flags += 1
         if opening is not None:
             kind, out_size = opening
@@ -445,16 +452,20 @@ class BatchExecutor:
                     st.defers = []
                     ex_kind, rows_slot, full_row = "rows", s1, 0
                     fresh, col_full, col_fresh = s2, colA, colB
-                    nz = {s1: ("rows",), s2: ("fresh",)}
+                    fresh_col = c2
+                    nz = {s1: ("rows",), s2: "fresh"}
                 else:
                     if j1:
                         full, fresh, col_full, col_fresh = s1, s2, colA, colB
+                        fresh_col = c2
                     else:
                         full, fresh, col_full, col_fresh = s2, s1, colB, colA
+                        fresh_col = c1
                     ex_kind, rows_slot, full_row = "mat", 0, st.slot_row[full]
-                    nz = {fresh: ("fresh",)}
+                    nz = {fresh: "fresh"}
                     for slot, row in st.slot_row.items():
                         nz[slot] = ("mat", row)
+                fresh_mult = cat.max_mult(q.slots[fresh], fresh_col)
                 mult_rows = tuple(d["mult_row"] for d in st.defers) or None
                 fresh_kind = "fresh" if mult_rows is None else "fresh_w"
                 defer_of = {d["slot"]: d for d in st.defers}
@@ -462,13 +473,17 @@ class BatchExecutor:
                 for idx, p in enumerate(q.projections):
                     spec = nz.get(p.slot)
                     if spec is not None:
-                        for plane, sh in cat.proj_planes(q.slots[p.slot],
-                                                         p.col):
-                            specs.append(spec)
+                        planes = cat.proj_planes(q.slots[p.slot], p.col)
+                        vmaxes = cat.plane_maxes(q.slots[p.slot], p.col)
+                        for (plane, sh), vmax in zip(planes, vmaxes):
+                            if spec == "fresh":
+                                ch = channel_spec(fresh_mult, vmax)
+                                specs.append(("fresh", ch))
+                                sum_map.append((idx, (fresh_kind, ch), sh))
+                            else:
+                                specs.append(spec)
+                                sum_map.append((idx, "weighted", sh))
                             pcols.append(plane)
-                            sum_map.append((idx, fresh_kind
-                                            if spec[0] == "fresh"
-                                            else "weighted", sh))
                     elif p.slot in defer_of:
                         defer_projs.append((idx, p, defer_of[p.slot]))
                 plan.append(("terminal", mi, ex_kind,
@@ -483,14 +498,17 @@ class BatchExecutor:
                     # of T_d[lv_d] * terminal_count * prod(other mults)
                     excl = tuple(e["mult_row"] for e in st.defers
                                  if e is not d)
-                    for plane, sh in cat.proj_planes(q.slots[p.slot],
-                                                     p.col):
+                    d_mult = cat.max_mult(*d["key_ids"])
+                    planes = cat.proj_planes(q.slots[p.slot], p.col)
+                    vmaxes = cat.plane_maxes(q.slots[p.slot], p.col)
+                    for (plane, sh), vmax in zip(planes, vmaxes):
+                        ch = channel_spec(d_mult, vmax)
                         plan.append(("project_defer", mi, full_row,
                                      fresh + slot_off, d["lv_row"],
-                                     d["slot"] + slot_off, excl))
+                                     d["slot"] + slot_off, excl, ch))
                         cols.extend((col_full, col_fresh,
                                      d["col_join"], plane))
-                        sum_map.append((idx, "fresh_w", sh))
+                        sum_map.append((idx, ("fresh_w", ch), sh))
                 st.terminal = True
                 k += 1
                 continue
@@ -527,7 +545,9 @@ class BatchExecutor:
                     n_flags += 1
                     st.defers.append({"slot": f, "mult_row": base_rows,
                                       "lv_row": base_rows + 1,
-                                      "col_join": col_fr})
+                                      "col_join": col_fr,
+                                      "key_ids": (q.slots[f],
+                                                  c2 if f == s2 else c1)})
                     st.mat_rows = base_rows + 2
                     k += 1
                     continue
@@ -599,12 +619,15 @@ class BatchExecutor:
                     d = defer_of[p.slot]
                     excl = tuple(e["mult_row"] for e in st.defers
                                  if e is not d)
-                    for plane, sh in cat.proj_planes(q.slots[p.slot],
-                                                     p.col):
+                    d_mult = cat.max_mult(*d["key_ids"])
+                    planes = cat.proj_planes(q.slots[p.slot], p.col)
+                    vmaxes = cat.plane_maxes(q.slots[p.slot], p.col)
+                    for (plane, sh), vmax in zip(planes, vmaxes):
+                        ch = channel_spec(d_mult, vmax)
                         plan.append(("project_defer_nt", mi, d["lv_row"],
-                                     d["slot"] + slot_off, excl))
+                                     d["slot"] + slot_off, excl, ch))
                         cols.extend((d["col_join"], plane))
-                        sum_map.append((idx, "fresh_w", sh))
+                        sum_map.append((idx, ("fresh_w", ch), sh))
         return plan, cols, vals, sum_map, n_flags, True
 
     _MAT_PLACEHOLDER_WIDTH = 1024
@@ -621,8 +644,8 @@ class BatchExecutor:
             cnt_in.extend(st.live_cnt)
             mi = len(mats_in)
             mats_in.append(st.mat if st.mat is not None else
-                           jnp.zeros((1, self._MAT_PLACEHOLDER_WIDTH),
-                                     jnp.int32))
+                           self.catalog.mat_placeholder(
+                               self._MAT_PLACEHOLDER_WIDTH))
             ic_in.append(st.icount)
             opening = openings.get(id(st))
             pi = None
@@ -687,10 +710,11 @@ class BatchExecutor:
         states = []
         for q in queries:
             st = _QState(q, speculate=speculate)
+            st.icount = cat.scalar(0)
             for s in range(len(q.slots)):
                 n = cat.relations[q.slots[s]].num_tuples
                 st.live_rows.append(cat.iota(cat.bucket(n)))
-                st.live_cnt.append(np.int32(n))
+                st.live_cnt.append(cat.scalar(n))
             states.append(st)
         group = self.config.stage_group
         for i in range(0, len(states), group):
@@ -804,8 +828,13 @@ class BatchExecutor:
                 total = 0
                 for kind, arr, shift in s:
                     m = arr.size
-                    total += combiners[kind](
-                        parts_np[pi:pi + m].reshape(arr.shape)) << shift
+                    seg = parts_np[pi:pi + m].reshape(arr.shape)
+                    # fresh-side kinds carry their static channel plan:
+                    # ("fresh"|"fresh_w", channel_spec) — see ops/terminal.py
+                    if isinstance(kind, tuple):
+                        total += combiners[kind[0]](seg, kind[1]) << shift
+                    else:
+                        total += combiners[kind](seg) << shift
                     pi += m
                 sums.append(total & _U64_MASK)
             if not spec_ok:

@@ -140,12 +140,65 @@ class DeviceCatalog:
                 self._planes[key] = planes
         return self._planes[key]
 
+    def max_mult(self, rel_id: int, col: int) -> int:
+        """Exact max multiplicity of any value in the column (host scan,
+        cached). Used by the planner to pick the widest safe fresh-sum
+        channel split (ops/terminal.py:channel_spec): filters only shrink
+        per-key multiplicities, so the load-time bound is valid for every
+        query."""
+        if not hasattr(self, "_max_mult"):
+            self._max_mult: Dict[tuple, int] = {}
+        key = (rel_id, col)
+        if key not in self._max_mult:
+            vals = self.relations[rel_id].values[col]
+            if len(vals) == 0:
+                self._max_mult[key] = 1
+            else:
+                _, counts = np.unique(vals, return_counts=True)
+                self._max_mult[key] = int(counts.max())
+        return self._max_mult[key]
+
+    def plane_maxes(self, rel_id: int, col: int):
+        """Max value per projection plane, aligned with proj_planes:
+        identity plane -> the column's load-time max; 16-bit dictionary
+        planes -> 0xFFFF."""
+        planes = self.proj_planes(rel_id, col)
+        s = self.relations[rel_id].stats[col]
+        if len(planes) == 1 and planes[0][1] == 0 and s.max <= _INT32_MAX:
+            return [int(s.max)]
+        return [0xFFFF] * len(planes)
+
     # ---- shared helpers ----
 
     def iota(self, size: int) -> jax.Array:
         if size not in self._iota:
             self._iota[size] = jnp.arange(size, dtype=jnp.int32)
         return self._iota[size]
+
+    def scalar(self, value: int) -> jax.Array:
+        """Device-cached int32 scalar. Host numpy scalars passed to a
+        jitted call are re-uploaded per call; on the remote axon
+        transport every upload RPC costs ~1.5 ms once the process has
+        done its first device->host readback, so the executors route
+        all recurring scalars (live counts, filter constants) here."""
+        if not hasattr(self, "_scalars"):
+            self._scalars: Dict[int, jax.Array] = {}
+        v = int(value)
+        if v not in self._scalars:
+            self._scalars[v] = jax.device_put(np.int32(v), self._sharding)
+        return self._scalars[v]
+
+    def mat_placeholder(self, width: int) -> jax.Array:
+        """Device-cached all-zero (1, width) int32 matrix — the fused
+        stage runner's placeholder for queries with no intermediate yet.
+        Allocating it eagerly per round used to cost one ~1.5 ms RPC per
+        query per run on the axon transport."""
+        if not hasattr(self, "_placeholders"):
+            self._placeholders: Dict[int, jax.Array] = {}
+        if width not in self._placeholders:
+            self._placeholders[width] = jax.device_put(
+                np.zeros((1, width), np.int32), self._sharding)
+        return self._placeholders[width]
 
     def bucket(self, n: int) -> int:
         return bucket_size(n, self.config.min_pad, self.config.pad_base)

@@ -43,10 +43,11 @@ indexes the probes consumed by expansions):
       depth, any count): no expansion — rows gain a `mult` row (match
       counts) and an `lv` row (full-side values), zero-mult rows compact
       away. src is ("mat", full_row) | ("rows", slot).
-  ("project_defer", mi, full_row, tf_slot, lv_row, d_slot, excl)
+  ("project_defer", mi, full_row, tf_slot, lv_row, d_slot, excl, ch)
       deferred-slot projection at a terminal: T-table sum weighted by
-      terminal counts x the OTHER deferred multiplicities (excl rows)
-  ("project_defer_nt", mi, lv_row, d_slot, excl)
+      terminal counts x the OTHER deferred multiplicities (excl rows);
+      ch is the static fresh-side channel plan (terminal.channel_spec)
+  ("project_defer_nt", mi, lv_row, d_slot, excl, ch)
       deferred-slot projection with no terminal join
   ("project_w", mi, row, mult_rows)      projection weighted by deferred
       multiplicities (pipeline ended on a row-filter join)
@@ -233,7 +234,7 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
                                                              mode="drop")
             ic[mi] = ncnt
         elif k == "project_defer":
-            _, mi, full_row, tf_slot, lv_row, d_slot, excl = op
+            _, mi, full_row, tf_slot, lv_row, d_slot, excl, ch = op
             col_full_t, col_join_tf = cols[ci], cols[ci + 1]
             col_join_d, col_proj = cols[ci + 2], cols[ci + 3]
             ci += 4
@@ -243,19 +244,19 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             w = counts_t * _mult_of(mi, excl) if excl else counts_t
             partials.append(_fresh_sum_weighted(
                 col_proj, col_join_d, lr[d_slot], lc[d_slot],
-                mats[mi][lv_row], w, ic[mi], domain))
+                mats[mi][lv_row], w, ic[mi], domain, ch))
         elif k == "project_defer_nt":
             # deferred-slot projection with NO terminal join: weights are
             # the product of the OTHER deferred multiplicities (ones if
             # this is the only deferral)
-            _, mi, lv_row, d_slot, excl = op
+            _, mi, lv_row, d_slot, excl, ch = op
             col_join_d, col_proj = cols[ci], cols[ci + 1]
             ci += 2
             w = (_mult_of(mi, excl) if excl
                  else jnp.ones(mats[mi].shape[1], jnp.int32))
             partials.append(_fresh_sum_weighted(
                 col_proj, col_join_d, lr[d_slot], lc[d_slot],
-                mats[mi][lv_row], w, ic[mi], domain))
+                mats[mi][lv_row], w, ic[mi], domain, ch))
         elif k == "project_w":
             # intermediate projection weighted by deferred multiplicities
             _, mi, row, mult_rows = op

@@ -78,81 +78,112 @@ def terminal_sum_existing_rows(col, rows, counts, count):
     return weighted_partials(col[rows], counts, count)
 
 
-# fresh-side: 11-bit limb channels for the value tables
-_L0, _L1 = 11, 11
-_STAGE1 = 16          # first-stage chunk: gathered entries < 2**27
+# ---- fresh-side T-table channels ----
+#
+# T[v] accumulates the projection column over duplicate fresh rows in an
+# int32 scatter-add table, so each channel's per-key total must stay
+# below 2**31. The channel split is ADAPTIVE: from the key column's exact
+# load-time max multiplicity m (filters only shrink it) and the plane's
+# max value V the planner picks the widest safe channels —
+# m*V < 2**31 => ONE whole-value channel (one scatter-add + one gather
+# instead of three), else ceil(31 - log2(m))-bit slices. On the axon
+# transport every gather/scatter costs ~0.5 ms, so dropping 3 channels
+# to 1 is the single largest saving in the workload. Legacy default
+# (unknown m): 3 x 11-bit channels, exact to m ~ 2**20.
+
+DEFAULT_CHANNELS = ((0, 11), (11, 11), (22, 10))
 
 
-def _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
-                    lvm, icount, domain):
-    """Traceable body of terminal_sum_fresh (shared with the fused op)."""
+def channel_spec(max_mult: int, vmax: int):
+    """Static ((shift, bits), ...) channel plan for a fresh-side T table.
+
+    Exactness: per-key channel totals are <= max_mult * (2**bits - 1),
+    kept < 2**31."""
+    m = max(int(max_mult), 1)
+    vbits = max(int(vmax).bit_length(), 1)
+    if m * int(vmax) < 2**31:
+        return ((0, vbits),)
+    safe = max(31 - (m - 1).bit_length() - 1, 1)
+    return tuple((s, min(safe, vbits - s))
+                 for s in range(0, vbits, safe))
+
+
+def _fresh_tables(col_proj, col_join, fresh_rows, fresh_cnt,
+                  lvm, icount, domain, channels):
+    """Per-channel gathered T[lvm] vectors (masked, each entry < 2**31).
+
+    Shared by the plain and weighted fresh-side reductions."""
     R = fresh_rows.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
     live_r = ri < fresh_cnt
     key = jnp.where(live_r, col_join[fresh_rows], np.int32(domain))
     pv = jnp.where(live_r, col_proj[fresh_rows], 0)
-    limbs = [pv & 0x7FF, (pv >> _L0) & 0x7FF, pv >> (_L0 + _L1)]
 
     L = lvm.shape[0]
     li = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
     live_l = (li < icount) & (lvm >= 0)
     lv_safe = jnp.clip(lvm, 0, domain - 1)
 
-    outs = []
-    for limb in limbs:
+    gs = []
+    for shift, bits in channels:
+        limb = pv if (shift == 0 and bits >= 31) else \
+            ((pv >> shift) & ((1 << bits) - 1))
         t = jnp.zeros(domain, jnp.int32).at[key].add(limb, mode="drop")
-        g = jnp.where(live_l, t[lv_safe], 0)          # entries < 2**27
-        s1 = g.reshape(L // _STAGE1, _STAGE1).sum(axis=1, dtype=jnp.int32)
-        m = s1.shape[0]
-        c2 = min(1024, m)
-        lo = (s1 & 0xFFFF).reshape(m // c2, c2).sum(axis=1, dtype=jnp.int32)
-        hi = (s1 >> 16).reshape(m // c2, c2).sum(axis=1, dtype=jnp.int32)
+        gs.append(jnp.where(live_l, t[lv_safe], 0))
+    return gs
+
+
+_GCHUNK = 1 << 10      # 16-bit g-limb chunk partial < 2**26 (int32-exact)
+
+
+def _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
+                    lvm, icount, domain, channels=DEFAULT_CHANNELS):
+    """Traceable body of terminal_sum_fresh (shared with the fused op).
+    Returns (C, 2, 2) folded partials (16-bit g-limb split per channel)."""
+    gs = _fresh_tables(col_proj, col_join, fresh_rows, fresh_cnt,
+                       lvm, icount, domain, channels)
+    L = lvm.shape[0]
+    outs = []
+    for g in gs:
+        lo = (g & 0xFFFF).reshape(L // _GCHUNK, _GCHUNK).sum(
+            axis=1, dtype=jnp.int32)
+        hi = (g >> 16).reshape(L // _GCHUNK, _GCHUNK).sum(
+            axis=1, dtype=jnp.int32)
         outs.append(jnp.stack([lo, hi]))
     return fold_partials(jnp.stack(outs))
 
 
-@partial(jax.jit, static_argnames=("domain",))
+@partial(jax.jit, static_argnames=("domain", "channels"))
 def terminal_sum_fresh(col_proj, col_join, fresh_rows, fresh_cnt,
-                       lvm, icount, domain):
+                       lvm, icount, domain, channels=DEFAULT_CHANNELS):
     """sum over existing rows e of T[lvm[e]] where T[v] = sum of
     col_proj over live fresh rows with col_join == v.
 
-    Returns (3, 2, 2) folded int32 partials; combine with
+    Returns (C, 2, 2) folded int32 partials; combine with
     combine_fresh_partials on the host."""
     return _fresh_sum_body(col_proj, col_join, fresh_rows, fresh_cnt,
-                           lvm, icount, domain)
+                           lvm, icount, domain, channels)
 
 
 def _fresh_sum_weighted(col_proj, col_join, fresh_rows, fresh_cnt,
-                        lvm, weights, icount, domain):
+                        lvm, weights, icount, domain,
+                        channels=DEFAULT_CHANNELS):
     """sum over existing rows e of weights[e] * T[lvm[e]] — the
     multiplicity-weighted fresh-side reduction (used when a deferred
-    middle attach left a `mult` row). Returns (3, 5, 2) folded int32
-    partials (per 11-bit T channel, weighted_partials layout)."""
-    R = fresh_rows.shape[0]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
-    live_r = ri < fresh_cnt
-    key = jnp.where(live_r, col_join[fresh_rows], np.int32(domain))
-    pv = jnp.where(live_r, col_proj[fresh_rows], 0)
-    limbs = [pv & 0x7FF, (pv >> _L0) & 0x7FF, pv >> (_L0 + _L1)]
-    L = lvm.shape[0]
-    li = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
-    live_l = (li < icount) & (lvm >= 0)
-    lv_safe = jnp.clip(lvm, 0, domain - 1)
-    outs = []
-    for limb in limbs:
-        t = jnp.zeros(domain, jnp.int32).at[key].add(limb, mode="drop")
-        g = jnp.where(live_l, t[lv_safe], 0)          # entries < 2**27
-        outs.append(weighted_partials(g, weights, icount))
-    return jnp.stack(outs)
+    middle attach left a `mult` row). Returns (C, 5, 2) folded int32
+    partials (per T channel, weighted_partials layout)."""
+    gs = _fresh_tables(col_proj, col_join, fresh_rows, fresh_cnt,
+                       lvm, icount, domain, channels)
+    return jnp.stack([weighted_partials(g, weights, icount) for g in gs])
 
 
-def combine_fresh_w_partials(partials: np.ndarray) -> int:
-    """Host combiner for _fresh_sum_weighted output (3, 5, 2) folded."""
+def combine_fresh_w_partials(partials: np.ndarray,
+                             channels=DEFAULT_CHANNELS) -> int:
+    """Host combiner for _fresh_sum_weighted output (C, 5, 2) folded."""
     from ..utils.limbs import combine_weighted_partials
     p = np.asarray(partials)
     total = 0
-    for c, shift in enumerate((0, _L0, _L0 + _L1)):
+    for c, (shift, _bits) in enumerate(channels):
         total += combine_weighted_partials(p[c]) << shift
     return total & _U64_MASK
 
@@ -169,7 +200,8 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
     plan (static): (ex_kind, full_row, proj_specs) where ex_kind is
     "mat"/"rows", full_row indexes the intermediate matrix row holding the
     full side's rowids (ignored for "rows"), and proj_specs is a tuple of
-    ("fresh",) | ("mat", row) | ("rows",) aligned with proj_cols.
+    ("fresh", channels) | ("mat", row) | ("rows",) aligned with proj_cols
+    (channels: static channel_spec for the fresh-side T table).
 
     `mult` (optional): per-existing-row multiplicity from a deferred
     middle attach; weighted sums then use counts*mult (bounded by the
@@ -195,13 +227,15 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
     outs = []
     for spec, col in zip(proj_specs, proj_cols):
         if spec[0] == "fresh":
+            ch = spec[1] if len(spec) > 1 else DEFAULT_CHANNELS
             if mult is None:
                 outs.append(_fresh_sum_body(col, col_join_fresh, fresh_rows,
-                                            fresh_cnt, lvm, icount, domain))
+                                            fresh_cnt, lvm, icount, domain,
+                                            ch))
             else:
                 outs.append(_fresh_sum_weighted(col, col_join_fresh,
                                                 fresh_rows, fresh_cnt, lvm,
-                                                mult, icount, domain))
+                                                mult, icount, domain, ch))
         elif spec[0] == "mat":
             outs.append(weighted_partials(col[ex_source[spec[1]]], weight,
                                           icount))
@@ -213,10 +247,13 @@ def terminal_join_and_project(ex_source, icount, fresh_rows, fresh_cnt,
 _U64_MASK = (1 << 64) - 1
 
 
-def combine_fresh_partials(partials: np.ndarray) -> int:
-    """Host combiner for terminal_sum_fresh output (3, 2, 2) folded."""
+def combine_fresh_partials(partials: np.ndarray,
+                           channels=DEFAULT_CHANNELS) -> int:
+    """Host combiner for terminal_sum_fresh output (C, 2, 2) folded:
+    per channel, [0] sums the g-vector's low 16 bits and [1] its high
+    bits; the channel total then shifts by its plane offset."""
     p = np.asarray(partials)
     total = 0
-    for c, shift in enumerate((0, _L0, _L0 + _L1)):
+    for c, (shift, _bits) in enumerate(channels):
         total += ((_rowsum(p[c, 0]) + (_rowsum(p[c, 1]) << 16)) << shift)
     return total & _U64_MASK
