@@ -41,7 +41,7 @@ from ..ops.backend import JoinBackend
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
 from ..ops.filter import filter_full, filter_live
 from ..ops.join import JoinCapacityError
-from ..ops.stage import run_stage, touched_state
+from ..ops.stage import part_shape, run_stage
 from ..ops.terminal import (channel_spec,
                             combine_fresh_partials,
                             combine_fresh_w_partials,
@@ -55,6 +55,11 @@ from .planner import _propagate_join, _rough_filter_estimate
 from .stats import estimate_join_output, seed_stats
 
 _U64_MASK = (1 << 64) - 1
+
+_COMBINERS = {"limb": combine_limb_partials,
+              "weighted": combine_weighted_partials,
+              "fresh": combine_fresh_partials,
+              "fresh_w": combine_fresh_w_partials}
 
 
 @jax.jit
@@ -76,7 +81,8 @@ class _QState:
     __slots__ = ("q", "live_rows", "live_cnt", "mat", "slot_row", "icount",
                  "null", "flags", "probe", "fresh_slot", "sums", "terminal",
                  "next_join", "pending", "mat_rows", "defers", "spec_flags",
-                 "speculate", "est")
+                 "speculate", "est", "flag_refs", "spec_refs",
+                 "probe_total_ref")
 
     def __init__(self, q: Query, speculate: bool = True):
         self.q = q
@@ -107,6 +113,11 @@ class _QState:
         self.spec_flags: List[jax.Array] = []
         self.speculate = speculate
         self.est = None                        # List[SlotStats] (lazy)
+        # fused-path packed-vector references: (vec id, offset) into the
+        # round's single int32 output vector (ops/stage.py run_stage)
+        self.flag_refs: List[tuple] = []
+        self.spec_refs: List[tuple] = []
+        self.probe_total_ref = None
 
 
 class BatchExecutor:
@@ -632,9 +643,15 @@ class BatchExecutor:
 
     _MAT_PLACEHOLDER_WIDTH = 1024
 
-    def _run_round(self, round_states, openings) -> None:
+    def _run_round(self, round_states, openings, vecs) -> None:
         """Plan + execute ONE fused program covering every state in the
-        round (openings: {state: ("pair"/"attach", out_size)})."""
+        round (openings: {state: ("pair"/"attach", out_size)}).
+
+        The program returns ONE packed int32 vector (appended to `vecs`)
+        holding every flag/spec/probe-total/partial, plus device state
+        only for queries that emitted a probe (they continue next round).
+        States record (vec id, offset) references; nothing is read back
+        here."""
         plan, cols, vals = [], [], []
         live_in, cnt_in, mats_in, ic_in, probes_in = [], [], [], [], []
         meta = []
@@ -665,19 +682,39 @@ class BatchExecutor:
             vals.extend(v)
         if not plan:
             return
+        # keep sets: only a query that emitted a probe needs its device
+        # state next round; finished queries leave ONLY the packed vector
+        keep_slots, keep_mats, keep_probes = [], [], []
+        out_pi = 0
+        for (st, slot_off, n_slots, mi, _sm, _sd, _nf, emits_probe,
+             _ns) in meta:
+            if emits_probe:
+                keep_slots.extend(range(slot_off, slot_off + n_slots))
+                keep_mats.append(mi)
+                keep_probes.append(out_pi)
+                out_pi += 1
         self.counters["dispatches"] += 1
         plan_t = tuple(plan)
         out = self.profiler.record(
             "stage",
             run_stage(tuple(live_in), tuple(cnt_in), tuple(mats_in),
                       tuple(ic_in), tuple(probes_in), tuple(cols),
-                      tuple(vals), plan_t, self.catalog.domain),
+                      tuple(vals), plan_t, self.catalog.domain,
+                      tuple(keep_slots), tuple(keep_mats),
+                      tuple(keep_probes)),
             tuple(live_in) + tuple(mats_in))
-        lr, lc, mats, ics, probes_out, flags, partials, specs = out
-        t_slots, t_mats = touched_state(plan_t)
-        slot_new = dict(zip(t_slots, zip(lr, lc)))
-        mat_new = dict(zip(t_mats, zip(mats, ics)))
-        fi = pi_out = qi = si = 0
+        packed, lr_k, lc_k, mats_k, ics_k, probes_k = out
+        vid = len(vecs)
+        vecs.append(packed)
+        slot_new = dict(zip(keep_slots, zip(lr_k, lc_k)))
+        mat_new = dict(zip(keep_mats, zip(mats_k, ics_k)))
+        # packed layout: [flags | specs | probe totals | partials]
+        tot_flags = sum(m[6] for m in meta)
+        tot_specs = sum(m[8] for m in meta)
+        off_specs = tot_flags
+        off_totals = tot_flags + tot_specs
+        fi = si = ti = ki = 0
+        poff = off_totals + sum(1 for m in meta if m[7])
         for (st, slot_off, n_slots, mi, sum_map, sums_done, n_flags,
              emits_probe, n_specs) in meta:
             for i in range(n_slots):
@@ -687,21 +724,43 @@ class BatchExecutor:
             upd = mat_new.get(mi)
             if upd is not None:
                 st.mat, st.icount = upd
-            st.flags.extend(flags[fi:fi + n_flags])
+            st.flag_refs.extend((vid, fi + j) for j in range(n_flags))
             fi += n_flags
-            st.spec_flags.extend(specs[si:si + n_specs])
+            st.spec_refs.extend((vid, off_specs + si + j)
+                                for j in range(n_specs))
             si += n_specs
             if sums_done:
                 sums = [[] for _ in st.q.projections]
                 for (idx, kind, shift) in sum_map:
-                    sums[idx].append((kind, partials[qi], shift))
-                    qi += 1
+                    shape = part_shape(kind)
+                    size = int(np.prod(shape))
+                    sums[idx].append((kind, (vid, poff, shape), shift))
+                    poff += size
                 st.sums.extend(sums)
             else:
                 assert not sum_map
             if emits_probe:
-                st.probe = probes_out[pi_out]
-                pi_out += 1
+                st.probe = probes_k[ki]          # (order, lo, off, cum)
+                st.probe_total_ref = (vid, off_totals + ti)
+                ki += 1
+                ti += 1
+
+    def _read_vecs(self, vecs, need) -> None:
+        """Read packed vectors `need` (vec ids) into the host cache with
+        ONE device program + ONE readback."""
+        need = [v for v in need if v not in self._vec_np]
+        if not need:
+            return
+        self.counters["readbacks"] += 1
+        if len(need) == 1:
+            self._vec_np[need[0]] = np.asarray(vecs[need[0]])
+            return
+        flat = np.asarray(jnp.concatenate([vecs[v] for v in need]))
+        off = 0
+        for v in need:
+            n = vecs[v].shape[0]
+            self._vec_np[v] = flat[off:off + n]
+            off += n
 
     def _run_batch_fused(self, queries: Sequence[Query],
                          speculate: bool = True
@@ -716,20 +775,23 @@ class BatchExecutor:
                 st.live_rows.append(cat.iota(cat.bucket(n)))
                 st.live_cnt.append(cat.scalar(n))
             states.append(st)
+        vecs: List[jax.Array] = []
+        self._vec_np: Dict[int, np.ndarray] = {}
         group = self.config.stage_group
         for i in range(0, len(states), group):
-            self._run_round(states[i:i + group], {})
+            self._run_round(states[i:i + group], {}, vecs)
         while True:
             pend = [st for st in states if st.probe is not None
                     and not st.null]
             if not pend:
                 break
-            self.counters["readbacks"] += 1
-            totals = np.asarray(jnp.stack([st.probe[4] for st in pend]))
+            self._read_vecs(vecs, sorted({st.probe_total_ref[0]
+                                          for st in pend}))
             openings = {}
             live = []
-            for st, total in zip(pend, totals):
-                total = int(total)
+            for st in pend:
+                vid, off = st.probe_total_ref
+                total = int(self._vec_np[vid][off])
                 if total < 0:
                     raise JoinCapacityError(
                         "a join exceeds 2**31-1 output pairs")
@@ -738,13 +800,17 @@ class BatchExecutor:
                     st.probe = None
                     st.pending = None
                     continue
+                # expansion programs read the live count from the probe's
+                # 5th element; the total is host-known here, so ride a
+                # device-cached scalar (no upload RPC)
+                st.probe = (*st.probe, cat.scalar(total))
                 openings[id(st)] = (st.pending[0],
                                     self.catalog.bucket(total))
                 live.append(st)
             for i in range(0, len(live), group):
                 chunk = live[i:i + group]
-                self._run_round(chunk, openings)
-        results = self._final_sweep(states)
+                self._run_round(chunk, openings, vecs)
+        results = self._final_sweep_fused(states, vecs)
         retry = [i for i, r in enumerate(results) if r is _RETRY]
         if retry:
             # mis-speculated expansions: rerun those queries on the exact
@@ -754,6 +820,39 @@ class BatchExecutor:
                                          speculate=False)
             for i, r in zip(retry, redo):
                 results[i] = r
+        return results
+
+    def _final_sweep_fused(self, states: List[_QState], vecs
+                           ) -> List[Optional[List[int]]]:
+        """Resolve every packed-vector reference with ONE readback and
+        combine the exact u64 sums on host (same semantics as
+        _final_sweep; the data just arrives pre-packed per stage)."""
+        self._read_vecs(vecs, range(len(vecs)))
+        vnp = self._vec_np
+        results: List[object] = []
+        for st in states:
+            spec_ok = all(int(vnp[v][o]) != 0 for v, o in st.spec_refs)
+            if st.null:
+                results.append(None if spec_ok else _RETRY)
+                continue
+            nulled = any(int(vnp[v][o]) != 0 for v, o in st.flag_refs)
+            sums: List[int] = []
+            for s in st.sums:
+                total = 0
+                for kind, (vid, off, shape), shift in s:
+                    size = int(np.prod(shape))
+                    seg = vnp[vid][off:off + size].reshape(shape)
+                    # fresh-side kinds carry their static channel plan:
+                    # ("fresh"|"fresh_w", channel_spec) — ops/terminal.py
+                    if isinstance(kind, tuple):
+                        total += _COMBINERS[kind[0]](seg, kind[1]) << shift
+                    else:
+                        total += _COMBINERS[kind](seg) << shift
+                sums.append(total & _U64_MASK)
+            if not spec_ok:
+                results.append(_RETRY)
+            else:
+                results.append(None if nulled else sums)
         return results
 
     # ---- per-op driver (sort backend / fusion off) ----
@@ -809,10 +908,7 @@ class BatchExecutor:
         specs_np = combined[nf:nf + ns] != 0
         parts_np = combined[nf + ns:]
 
-        combiners = {"limb": combine_limb_partials,
-                     "weighted": combine_weighted_partials,
-                     "fresh": combine_fresh_partials,
-                     "fresh_w": combine_fresh_w_partials}
+        combiners = _COMBINERS
         results: List[object] = []
         fi = pi = si = 0
         for st in states:

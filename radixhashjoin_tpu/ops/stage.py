@@ -89,14 +89,21 @@ def touched_state(plan):
     return tuple(slots), tuple(mats)
 
 
-@partial(jax.jit, static_argnames=("plan", "domain"))
+@partial(jax.jit, static_argnames=("plan", "domain", "keep_slots",
+                                   "keep_mats", "keep_probes"))
 def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
-              plan, domain):
-    """Execute one fused stage for a group of queries. Returns
-    (touched live_rows, touched live_cnt, touched mats, touched icounts,
-    probes_out, flags, partials, specs) — see touched_state for the index
-    sets; specs are the speculative-expansion ok flags (False => retry the
-    query on the exact readback path)."""
+              plan, domain, keep_slots=(), keep_mats=(), keep_probes=()):
+    """Execute one fused stage for a group of queries.
+
+    Returns (packed, kept live_rows, kept live_cnt, kept mats, kept
+    icounts, kept probe states). `packed` is ONE flat int32 vector
+    [flags | spec ok-flags | probe totals | partials] — on the axon
+    transport every OUTPUT BUFFER of a dispatch costs ~1.2 ms of RPC
+    once the process has done its first device->host readback, so a
+    stage that used to return ~20 arrays (24 ms) returns one vector
+    plus only the state a later stage genuinely consumes (keep_* are
+    the planner's per-round static keep sets: state survives only for
+    queries that emitted a probe and continue next round)."""
     lr = list(live_rows)
     lc = list(live_cnt)
     mats = list(mats)
@@ -270,7 +277,29 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             ci += 1
         else:  # pragma: no cover
             raise ValueError(op)
-    t_slots, t_mats = touched_state(plan)
-    return (tuple(lr[s] for s in t_slots), tuple(lc[s] for s in t_slots),
-            tuple(mats[m] for m in t_mats), tuple(ic[m] for m in t_mats),
-            tuple(probes_out), tuple(flags), tuple(partials), tuple(specs))
+    segs = []
+    if flags:
+        segs.append(jnp.stack(flags).astype(jnp.int32))
+    if specs:
+        segs.append(jnp.stack(specs).astype(jnp.int32))
+    if probes_out:
+        segs.append(jnp.stack([p[4] for p in probes_out]))
+    segs += [p.reshape(-1) for p in partials]
+    packed = jnp.concatenate(segs) if segs else jnp.zeros(0, jnp.int32)
+    return (packed,
+            tuple(lr[s] for s in keep_slots),
+            tuple(lc[s] for s in keep_slots),
+            tuple(mats[m] for m in keep_mats),
+            tuple(ic[m] for m in keep_mats),
+            tuple(probes_out[p][:4] for p in keep_probes))
+
+
+def part_shape(kind):
+    """Static shape of one packed partial, by sum_map kind (see
+    utils/limbs.py for the folded layouts)."""
+    if kind == "limb":
+        return (2, 2)
+    if kind == "weighted":
+        return (5, 2)
+    k, ch = kind
+    return (len(ch), 2, 2) if k == "fresh" else (len(ch), 5, 2)
