@@ -45,6 +45,11 @@ class EngineConfig:
     speculate_expansions: bool = True
     speculate_slack: float = 4.0        # padding over the estimate
     speculate_max: int = 1 << 22        # never speculate wider than this
+    # Factorized execution: a tree-shaped query (every join attaches a
+    # fresh slot) runs as count-message passing over the join tree with
+    # NO materialization at all (ops/factorized.py) when its exact int32
+    # overflow caps hold; cyclic / over-cap queries use the paths above.
+    factorized: bool = True
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

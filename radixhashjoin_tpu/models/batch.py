@@ -129,7 +129,8 @@ class BatchExecutor:
         self.profiler = OpProfiler(config.profile)
         # dispatch/readback accounting (VERDICT r1: instrument and print):
         # dispatches = compiled-program launches; readbacks = host syncs
-        self.counters = {"dispatches": 0, "readbacks": 0, "spec_retries": 0}
+        self.counters = {"dispatches": 0, "readbacks": 0, "spec_retries": 0,
+                         "ftree_queries": 0}
         kind = config.join_backend
         if kind == "auto":
             kind = ("dense" if self.catalog.domain <= config.max_dense_domain
@@ -381,6 +382,160 @@ class BatchExecutor:
             max(int(est * self.config.speculate_slack), 1))
         return size if size <= self.config.speculate_max else None
 
+    # ---- factorized tree planner (ops/factorized.py) ----
+
+    def _extract_tree(self, q: Query):
+        """Walk the join sequence with the oracle's exact case semantics
+        (SURVEY.md §9). Returns (final_comp, wiped_comps) when every join
+        attaches a fresh slot — i.e. the query factorizes — else None.
+
+        A comp is {"nodes": slots in attach order (nodes[0] = root),
+        "set", "edges": [(p_slot, p_col, c_slot, c_col)] in attach order,
+        "sels": [(slot, c1, c2, n_edges_at_append)]}. Case-1 and fresh
+        same-slot predicates WIPE the previous comp (§8.5/§8.2); wiped
+        comps with joins still gate NULL and come back flag-only."""
+        comp = None
+        wiped = []
+
+        def new_comp(s):
+            return {"nodes": [s], "set": {s}, "edges": [], "sels": []}
+
+        for j in q.joins:
+            s1, c1, s2, c2 = j.slot1, j.col1, j.slot2, j.col2
+            if s1 == s2:
+                if comp is not None and s1 in comp["set"]:
+                    comp["sels"].append((s1, c1, c2, len(comp["edges"])))
+                else:
+                    if comp is not None and comp["edges"]:
+                        wiped.append(comp)
+                    comp = new_comp(s1)
+                    comp["sels"].append((s1, c1, c2, 0))
+                continue
+            j1 = comp is not None and s1 in comp["set"]
+            j2 = comp is not None and s2 in comp["set"]
+            if j1 and j2:
+                return None                      # case 3: cycle
+            if not j1 and not j2:
+                if comp is not None and comp["edges"]:
+                    wiped.append(comp)
+                comp = new_comp(s1)
+                comp["nodes"].append(s2)
+                comp["set"].add(s2)
+                comp["edges"].append((s1, c1, s2, c2))
+            else:
+                p, pc, ch, cc = (s1, c1, s2, c2) if j1 else (s2, c2, s1, c1)
+                comp["nodes"].append(ch)
+                comp["set"].add(ch)
+                comp["edges"].append((p, pc, ch, cc))
+        if comp is None or not comp["edges"]:
+            return None
+        # a selection AFTER the last join makes the final multiset
+        # differ from the last join's output; NULL detection would need
+        # a second message pass — rare, so fall back instead
+        if any(at == len(comp["edges"]) for *_x, at in comp["sels"]):
+            return None
+        for w in wiped:
+            w["sels"] = [s for s in w["sels"] if s[3] < len(w["edges"])]
+        return comp, wiped
+
+    _CAP = 2**31
+
+    def _ftree_caps(self, q: Query, comp, proj_slots) -> bool:
+        """Exact host-side overflow caps: every message-table entry and
+        per-row weight the factorized pass computes must stay < 2**31 in
+        int32. Derived from load-time max multiplicities (filters and
+        selections only shrink them)."""
+        cat = self.catalog
+        edges = comp["edges"]
+        capB = [0] * len(edges)
+        capbeta = {}
+        for i in range(len(edges) - 1, -1, -1):
+            p, _pc, c, cc = edges[i]
+            n_c = max(cat.relations[q.slots[c]].num_tuples, 1)
+            cb = min(cat.max_mult(q.slots[c], cc), n_c) * capbeta.get(c, 1)
+            if cb >= self._CAP:
+                return False
+            capB[i] = cb
+            capbeta[p] = capbeta.get(p, 1) * cb
+            if capbeta[p] >= self._CAP:
+                return False
+        child_edges = {}
+        for i, (p, *_r) in enumerate(edges):
+            child_edges.setdefault(p, []).append(i)
+        capalpha = {comp["nodes"][0]: 1}
+        for i, (p, pc, c, _cc) in enumerate(edges):
+            excl = capalpha[p]
+            for j in child_edges[p]:
+                if j != i:
+                    excl *= capB[j]
+            if excl >= self._CAP:
+                return False
+            n_p = max(cat.relations[q.slots[p]].num_tuples, 1)
+            ca = min(cat.max_mult(q.slots[p], pc), n_p) * excl
+            if ca >= self._CAP:
+                return False
+            capalpha[c] = ca
+        for s in proj_slots:
+            if capalpha.get(s, 1) * capbeta.get(s, 1) >= self._CAP:
+                return False
+        return True
+
+    def _plan_ftree(self, st: _QState, comp, slot_off: int, sum_map,
+                    with_projs: bool):
+        """Emit one ("ftree", spec, n_cols) op (+ its cols) for a comp.
+        Column order MUST match ops/factorized.py's consumption order."""
+        cat = self.catalog
+        q = st.q
+        filtered = {f.slot for f in q.filters}
+        nodes = comp["nodes"]
+        idx_of = {s: i for i, s in enumerate(nodes)}
+        cols = []
+        sels_by = {i: [] for i in range(len(nodes))}
+        for (s, c1, c2, _at) in comp["sels"]:
+            sels_by[idx_of[s]].append((c1, c2))
+        for i, s in enumerate(nodes):
+            for (c1, c2) in sels_by[i]:
+                cols.append(cat.col(q.slots[s], c1))
+                cols.append(cat.col(q.slots[s], c2))
+        edges_bu = list(reversed(comp["edges"]))
+        proj_nodes = set()
+        if with_projs:
+            proj_nodes = {idx_of[p.slot] for p in q.projections
+                          if p.slot in comp["set"]}
+        # needs_down: the child's subtree contains a projection node
+        in_subtree = {i: {i} for i in range(len(nodes))}
+        for (p, _pc, c, _cc) in reversed(comp["edges"]):
+            in_subtree[idx_of[p]] |= in_subtree[idx_of[c]]
+        has_children = {idx_of[p] for (p, *_r) in comp["edges"]}
+        spec_edges = []
+        for (p, pc, c, cc) in edges_bu:
+            pi, ci_ = idx_of[p], idx_of[c]
+            pre = (ci_ not in has_children and c not in filtered
+                   and not sels_by[ci_])
+            needs_down = bool(in_subtree[ci_] & proj_nodes)
+            spec_edges.append((pi, ci_, pre, needs_down))
+            cols.append(cat.col(q.slots[p], pc))
+            cols.append(cat.col(q.slots[c], cc))
+        for (p, pc, c, cc), (_pi, _ci, pre, _nd) in zip(edges_bu,
+                                                        spec_edges):
+            if pre:
+                cols.append(cat.bincount_table(q.slots[c], cc))
+        projs = []
+        if with_projs:
+            for idx, p in enumerate(q.projections):
+                if p.slot not in comp["set"]:
+                    continue
+                planes = cat.proj_planes(q.slots[p.slot], p.col)
+                for (plane, sh) in planes:
+                    projs.append((idx_of[p.slot],))
+                    cols.append(plane)
+                    sum_map.append((idx, "weighted", sh))
+        spec = (tuple(s + slot_off for s in nodes),
+                tuple(s not in filtered for s in nodes),
+                tuple(len(sels_by[i]) for i in range(len(nodes))),
+                tuple(spec_edges), tuple(projs))
+        return ("ftree", spec, len(cols)), cols
+
     # ---- fused-stage planner + grouped driver (dense backend) ----
 
     def _plan_stage(self, st: _QState, opening, slot_off: int, mi: int,
@@ -428,6 +583,34 @@ class BatchExecutor:
                 st.slot_row[fresh] = st.mat_rows
                 st.mat_rows += 1
             st.pending = None
+
+        # factorized fast path: tree-shaped query within exact int32
+        # caps => one ftree op replaces the whole join pipeline (plus
+        # flag-only ftrees for case-1-wiped components' NULL gates)
+        if (self.config.factorized and st.next_join == 0
+                and opening is None and q.joins):
+            ft = self._extract_tree(q)
+            if ft is not None:
+                comp, wiped = ft
+                proj_slots = {p.slot for p in q.projections
+                              if p.slot in comp["set"]}
+                if self._ftree_caps(q, comp, proj_slots):
+                    for w in wiped:
+                        op, c = self._plan_ftree(st, w, slot_off,
+                                                 sum_map, False)
+                        plan.append(op)
+                        cols.extend(c)
+                        n_flags += 1
+                    op, c = self._plan_ftree(st, comp, slot_off, sum_map,
+                                             True)
+                    plan.append(op)
+                    cols.extend(c)
+                    n_flags += 1
+                    st.terminal = True
+                    st.next_join = len(q.joins)
+                    st.pending = None
+                    self.counters["ftree_queries"] += 1
+                    return plan, cols, vals, sum_map, n_flags, True
 
         k = st.next_join
         while k < len(q.joins):

@@ -168,6 +168,26 @@ class DeviceCatalog:
             return [int(s.max)]
         return [0xFFFF] * len(planes)
 
+    def bincount_table(self, rel_id: int, col: int) -> jax.Array:
+        """Device int32[domain] bincount of the column's device codes —
+        the query-independent B table of a pristine leaf in a factorized
+        tree (ops/factorized.py), superseding the reference's per-join
+        hash-table build (/root/reference/Result.cpp:45-58). Built once
+        per (relation, column) on host at first use."""
+        if not hasattr(self, "_bincounts"):
+            self._bincounts: Dict[tuple, jax.Array] = {}
+        key = (rel_id, col)
+        if key not in self._bincounts:
+            if self.dict_vals is None:
+                codes = self.relations[rel_id].narrow_column(col)
+            else:
+                codes = np.searchsorted(
+                    self.dict_vals,
+                    self.relations[rel_id].values[col]).astype(np.int32)
+            t = np.bincount(codes, minlength=self.domain).astype(np.int32)
+            self._bincounts[key] = jax.device_put(t, self._sharding)
+        return self._bincounts[key]
+
     # ---- shared helpers ----
 
     def iota(self, size: int) -> jax.Array:

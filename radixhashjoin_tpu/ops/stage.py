@@ -51,6 +51,10 @@ indexes the probes consumed by expansions):
       deferred-slot projection with no terminal join
   ("project_w", mi, row, mult_rows)      projection weighted by deferred
       multiplicities (pipeline ended on a row-filter join)
+  ("ftree", spec, n_cols)                ENTIRE tree-shaped query,
+      factorized (ops/factorized.py): filters feed live sets, then one
+      up/down count-message pass replaces every probe/expansion/
+      terminal; emits 1 NULL flag + per-projection-plane weighted folds
 
 Column operands arrive in `cols` in plan order; filter constants in
 `vals`.
@@ -69,6 +73,7 @@ from .backend import (_expand_attach_dense, _expand_pair_dense,
                       _probe_matrix_dense, _probe_rows_dense)
 from .chain import eq_filter_matrix, eq_filter_rows
 from .compact import compact_mask_positions
+from .factorized import run_ftree
 from .filter import filter_full, filter_live
 from .join_dense import dense_any_common
 from .terminal import (_dense_counts, _fresh_sum_weighted,
@@ -270,6 +275,16 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             partials.append(weighted_partials(
                 cols[ci][mats[mi][row]], _mult_of(mi, mult_rows), ic[mi]))
             ci += 1
+        elif k == "ftree":
+            # whole tree-shaped query, factorized: no materialization,
+            # one NULL flag + one (5,2) weighted fold per projection
+            # plane (ops/factorized.py; flag-only when projs is empty)
+            _, spec, n_cols = op
+            fc = tuple(cols[ci:ci + n_cols])
+            ci += n_cols
+            empty, outs = run_ftree(spec, lr, lc, fc, domain)
+            flags.append(empty)
+            partials.extend(outs)
         elif k == "project":
             _, mi, row = op
             partials.append(_gather_partials(cols[ci], mats[mi][row],

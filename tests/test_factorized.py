@@ -1,0 +1,181 @@
+"""Factorized tree execution (ops/factorized.py) vs the NumPy oracle.
+
+The ftree path replaces the whole join pipeline of tree-shaped queries
+with count-message passing; these tests pin its case analysis: chains,
+stars, case-1 wipes (wiped components still gate NULL), same-slot
+selections (pre-last-join factorized; post-last-join falls back),
+overflow-cap fallback, NULL propagation, and wide (u64) values.
+"""
+
+import numpy as np
+import pytest
+
+from radixhashjoin_tpu.config import EngineConfig
+from radixhashjoin_tpu.models.batch import BatchExecutor
+from radixhashjoin_tpu.oracle import OracleExecutor
+from radixhashjoin_tpu.storage import Relation
+from radixhashjoin_tpu.workload import (FilterPred, JoinPred, Projection,
+                                        Query)
+
+
+def _rels(rng, n_rel=4, vmax=64, nmax=300):
+    out = []
+    for _ in range(n_rel):
+        n = int(rng.integers(2, nmax))
+        cols = int(rng.integers(2, 4))
+        out.append(Relation([rng.integers(0, vmax, n).astype(np.uint64)
+                             for _ in range(cols)]))
+    return out
+
+
+def _tree_query(rng, rels):
+    """Random tree-shaped query: every join attaches a fresh slot."""
+    nslots = int(rng.integers(2, 5))
+    slots = [int(rng.integers(0, len(rels))) for _ in range(nslots)]
+    ncols = [rels[s].num_columns for s in slots]
+    joined = [0]
+    joins = []
+    for s in range(1, nslots):
+        p = int(rng.choice(joined))
+        joins.append(JoinPred(p, int(rng.integers(0, ncols[p])),
+                              s, int(rng.integers(0, ncols[s]))))
+        joined.append(s)
+    filters = []
+    for _ in range(int(rng.integers(0, 3))):
+        s = int(rng.integers(0, nslots))
+        filters.append(FilterPred(s, int(rng.integers(0, ncols[s])),
+                                  str(rng.choice(["=", "<", ">"])),
+                                  int(rng.integers(0, 70))))
+    projections = [Projection(int(rng.integers(0, nslots)), 0)
+                   for _ in range(int(rng.integers(1, 4)))]
+    return Query(slots, joins, filters, projections)
+
+
+def _check(rels, queries, **cfg):
+    oracle = OracleExecutor(rels)
+    ex = BatchExecutor(rels, EngineConfig(**cfg))
+    got = ex.run_batch(queries)
+    expect = [oracle.execute(q) for q in queries]
+    for g, e, q in zip(got, expect, queries):
+        assert g == e, (q, g, e)
+    return ex
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_tree_queries_match_oracle(seed):
+    rng = np.random.default_rng(200 + seed)
+    rels = _rels(rng)
+    queries = [_tree_query(rng, rels) for _ in range(8)]
+    ex = _check(rels, queries)
+    assert ex.counters["ftree_queries"] > 0
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_factorized_off_agrees(seed):
+    """factorized=False must produce identical output (shared oracle)."""
+    rng = np.random.default_rng(300 + seed)
+    rels = _rels(rng)
+    queries = [_tree_query(rng, rels) for _ in range(6)]
+    on = BatchExecutor(rels, EngineConfig()).run_batch(queries)
+    off = BatchExecutor(rels,
+                        EngineConfig(factorized=False)).run_batch(queries)
+    assert on == off
+    assert BatchExecutor(rels, EngineConfig(
+        factorized=False)).counters["ftree_queries"] == 0
+
+
+def test_wiped_component_gates_null():
+    """First join has zero pairs; a later case-1 join wipes it. The
+    reference still prints NULL (Query.cpp:188-191), so the wiped
+    component must come back as a flag-only tree."""
+    r0 = Relation([np.array([1, 2], np.uint64),
+                   np.array([5, 6], np.uint64)])
+    r1 = Relation([np.array([3, 4], np.uint64),
+                   np.array([7, 8], np.uint64)])
+    rels = [r0, r1]
+    q_null = Query([0, 1, 0, 1],
+                   [JoinPred(0, 0, 1, 0),     # {1,2} vs {3,4}: empty
+                    JoinPred(2, 0, 3, 0)],    # wipe; also empty here
+                   [], [Projection(2, 0)])
+    # same shape but first join non-empty, second empty -> NULL too
+    q2 = Query([0, 0, 0, 1],
+               [JoinPred(0, 0, 1, 0),         # self pairs: non-empty
+                JoinPred(2, 0, 3, 0)],        # wiped comp ok, final empty
+               [], [Projection(2, 0)])
+    _check(rels, [q_null, q2])
+
+
+def test_same_slot_selection_positions():
+    """Same-slot predicates: before the last join (factorized), as the
+    only predicate (single-node tree has no joins -> materialized tail),
+    and after the last join (fallback). All must match the oracle."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 8, 50).astype(np.uint64)
+    r = Relation([vals, rng.integers(0, 8, 50).astype(np.uint64),
+                  rng.integers(0, 99, 50).astype(np.uint64)])
+    rels = [r, r]
+    qs = [
+        Query([0, 1], [JoinPred(0, 0, 0, 1), JoinPred(0, 0, 1, 0)],
+              [], [Projection(1, 2), Projection(0, 2)]),
+        Query([0], [JoinPred(0, 0, 0, 1)], [], [Projection(0, 2)]),
+        Query([0, 1], [JoinPred(0, 0, 1, 0), JoinPred(0, 0, 0, 1)],
+              [], [Projection(1, 2)]),
+        Query([0, 1], [JoinPred(0, 0, 1, 0), JoinPred(1, 0, 1, 1)],
+              [], [Projection(0, 2)]),
+    ]
+    _check(rels, qs)
+
+
+def test_caps_overflow_falls_back():
+    """A 3-deep chain of all-equal keys has per-row counts ~n**3; the
+    host caps must reject it and the materialized path must answer."""
+    n = 2000
+    ones = np.ones(n, np.uint64)
+    r = Relation([ones, np.arange(n, dtype=np.uint64) % 97])
+    rels = [r, r, r, r]
+    # caps see load-time max_mult = 2000 per level (2000**3 >= 2**31);
+    # the filters keep the ACTUAL output small (~21**4 rows) so the
+    # materialized fallback can answer and the oracle can verify
+    q = Query([0, 1, 2, 3],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 0, 2, 0),
+               JoinPred(2, 0, 3, 0)],
+              [FilterPred(s, 1, "<", 1) for s in range(4)],
+              [Projection(0, 1)])
+    ex = _check(rels, [q])
+    assert ex.counters["ftree_queries"] == 0
+
+
+def test_star_and_deep_chain():
+    """Star (root with 3 children) exercises the exclusion products;
+    4-chain exercises multi-level alpha composition."""
+    rng = np.random.default_rng(11)
+    rels = _rels(rng, n_rel=5, vmax=16)
+    star = Query([0, 1, 2, 3],
+                 [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0),
+                  JoinPred(0, 0, 3, 1)],
+                 [FilterPred(1, 0, "<", 9)],
+                 [Projection(s, 1) for s in range(4)])
+    chain = Query([0, 1, 2, 3],
+                  [JoinPred(0, 0, 1, 0), JoinPred(1, 1, 2, 0),
+                   JoinPred(2, 1, 3, 0)],
+                  [FilterPred(3, 0, ">", 3)],
+                  [Projection(0, 1), Projection(3, 1)])
+    ex = _check(rels, [star, chain])
+    assert ex.counters["ftree_queries"] == 2
+
+
+def test_wide_values_factorized():
+    """u64 columns ride the dictionary codes + 16-bit planes through the
+    factorized weighted sums."""
+    rng = np.random.default_rng(13)
+    big = (rng.integers(0, 50, 200).astype(np.uint64) << np.uint64(40))
+    r0 = Relation([big, rng.integers(0, 9, 200).astype(np.uint64)])
+    r1 = Relation([big[rng.permutation(200)],
+                   (rng.integers(0, 50, 200).astype(np.uint64)
+                    << np.uint64(35))])
+    rels = [r0, r1]
+    q = Query([0, 1], [JoinPred(0, 0, 1, 0)],
+              [FilterPred(0, 1, "<", 5)],
+              [Projection(0, 0), Projection(1, 1)])
+    ex = _check(rels, [q])
+    assert ex.counters["ftree_queries"] == 1
