@@ -480,20 +480,36 @@ class BatchExecutor:
                 return False
         return True
 
-    def _plan_ftree(self, st: _QState, comp, slot_off: int, sum_map,
-                    with_projs: bool):
-        """Emit one ("ftree", spec, n_cols) op (+ its cols) for a comp.
-        Column order MUST match ops/factorized.py's consumption order."""
+    def _plan_ftree(self, st: _QState, comp, sum_map, with_projs: bool):
+        """Emit one ("ftree", spec, n_cols, n_vals) op (+ cols/vals) for
+        a comp. The final comp (with_projs) also carries every filtered
+        slot OUTSIDE the tree as a standalone flag-only node — a filter
+        emptying ANY slot NULLs the query (Query.cpp:95-146). Column and
+        value order MUST match ops/factorized.py's consumption order."""
         cat = self.catalog
         q = st.q
-        filtered = {f.slot for f in q.filters}
-        nodes = comp["nodes"]
+        nodes = list(comp["nodes"])
+        if with_projs:
+            nodes += sorted({f.slot for f in q.filters}
+                            - comp["set"])
         idx_of = {s: i for i, s in enumerate(nodes)}
-        cols = []
+        filts_by = {i: [] for i in range(len(nodes))}
+        for f in q.filters:
+            if f.slot in idx_of:
+                filts_by[idx_of[f.slot]].append(f)
         sels_by = {i: [] for i in range(len(nodes))}
         for (s, c1, c2, _at) in comp["sels"]:
             sels_by[idx_of[s]].append((c1, c2))
+        cols, vals = [], []
+        filt_ops = []
         for i, s in enumerate(nodes):
+            ops = []
+            for f in filts_by[i]:
+                opc, const = cat.encode_filter(f.op, f.value)
+                ops.append(opc)
+                cols.append(cat.col(q.slots[s], f.col))
+                vals.append(cat.scalar(int(const)))
+            filt_ops.append(tuple(ops))
             for (c1, c2) in sels_by[i]:
                 cols.append(cat.col(q.slots[s], c1))
                 cols.append(cat.col(q.slots[s], c2))
@@ -510,7 +526,7 @@ class BatchExecutor:
         spec_edges = []
         for (p, pc, c, cc) in edges_bu:
             pi, ci_ = idx_of[p], idx_of[c]
-            pre = (ci_ not in has_children and c not in filtered
+            pre = (ci_ not in has_children and not filts_by[ci_]
                    and not sels_by[ci_])
             needs_down = bool(in_subtree[ci_] & proj_nodes)
             spec_edges.append((pi, ci_, pre, needs_down))
@@ -530,11 +546,13 @@ class BatchExecutor:
                     projs.append((idx_of[p.slot],))
                     cols.append(plane)
                     sum_map.append((idx, "weighted", sh))
-        spec = (tuple(s + slot_off for s in nodes),
-                tuple(s not in filtered for s in nodes),
+        flag_nodes = tuple(i for i in range(len(nodes)) if filt_ops[i])
+        spec = (tuple(filt_ops),
                 tuple(len(sels_by[i]) for i in range(len(nodes))),
-                tuple(spec_edges), tuple(projs))
-        return ("ftree", spec, len(cols)), cols
+                tuple(spec_edges), flag_nodes,
+                idx_of[comp["nodes"][0]], tuple(projs))
+        n_flags = len(flag_nodes) + 1
+        return ("ftree", spec, len(cols), len(vals)), cols, vals, n_flags
 
     # ---- fused-stage planner + grouped driver (dense backend) ----
 
@@ -552,6 +570,36 @@ class BatchExecutor:
         q = st.q
         plan, cols, vals, sum_map = [], [], [], []
         n_flags = 0
+        # factorized fast path: tree-shaped query within exact int32
+        # caps => ftree ops replace filters AND the whole join pipeline
+        # (filters become boolean masks inside the op; flag-only ftrees
+        # gate NULL for case-1-wiped components)
+        if (self.config.factorized and st.next_join == 0
+                and opening is None and q.joins):
+            ft = self._extract_tree(q)
+            if ft is not None:
+                comp, wiped = ft
+                proj_slots = {p.slot for p in q.projections
+                              if p.slot in comp["set"]}
+                if self._ftree_caps(q, comp, proj_slots):
+                    for w in wiped:
+                        op, c, v, nf = self._plan_ftree(st, w, sum_map,
+                                                        False)
+                        plan.append(op)
+                        cols.extend(c)
+                        vals.extend(v)
+                        n_flags += nf
+                    op, c, v, nf = self._plan_ftree(st, comp, sum_map,
+                                                    True)
+                    plan.append(op)
+                    cols.extend(c)
+                    vals.extend(v)
+                    n_flags += nf
+                    st.terminal = True
+                    st.next_join = len(q.joins)
+                    st.pending = None
+                    self.counters["ftree_queries"] += 1
+                    return plan, cols, vals, sum_map, n_flags, True
         if st.next_join == 0 and opening is None:
             pristine = set(range(len(q.slots)))
             for f in q.filters:
@@ -583,34 +631,6 @@ class BatchExecutor:
                 st.slot_row[fresh] = st.mat_rows
                 st.mat_rows += 1
             st.pending = None
-
-        # factorized fast path: tree-shaped query within exact int32
-        # caps => one ftree op replaces the whole join pipeline (plus
-        # flag-only ftrees for case-1-wiped components' NULL gates)
-        if (self.config.factorized and st.next_join == 0
-                and opening is None and q.joins):
-            ft = self._extract_tree(q)
-            if ft is not None:
-                comp, wiped = ft
-                proj_slots = {p.slot for p in q.projections
-                              if p.slot in comp["set"]}
-                if self._ftree_caps(q, comp, proj_slots):
-                    for w in wiped:
-                        op, c = self._plan_ftree(st, w, slot_off,
-                                                 sum_map, False)
-                        plan.append(op)
-                        cols.extend(c)
-                        n_flags += 1
-                    op, c = self._plan_ftree(st, comp, slot_off, sum_map,
-                                             True)
-                    plan.append(op)
-                    cols.extend(c)
-                    n_flags += 1
-                    st.terminal = True
-                    st.next_join = len(q.joins)
-                    st.pending = None
-                    self.counters["ftree_queries"] += 1
-                    return plan, cols, vals, sum_map, n_flags, True
 
         k = st.next_join
         while k < len(q.joins):

@@ -18,43 +18,57 @@ Yannakakis / factorized-aggregation structure):
                            (product of the OTHER children's contribs)
   SUM(s, col) = sum over live rows r of col[r] * alpha[s][r] * beta[s][r]
 
-Every operator touches only RELATION-sized vectors (<= 43K padded on the
-golden data) instead of join-output-sized ones (the speculative
-expansions this replaces ran at 128K-256K width), and the per-row
-weights alpha*beta are exact in int32 under host-checked caps derived
-from load-time max multiplicities (models/batch.py:_ftree_caps); any
-query exceeding a cap falls back to the materialized path.
+Filters and same-slot selections are BOOLEAN MASKS here, not compacted
+rowid sets: a compare is a free VPU op while the reference's erase loops
+(Query.cpp:91-146) and the engine's own compaction scatters cost a full
+scatter kernel each. Every operator runs at RAW relation length (<= 43K
+on the golden data) — no padding, no gathers through live sets — so the
+only remaining gather/scatter kernels are the message tables themselves,
+and a pristine (unfiltered, selection-free) leaf's B table comes
+precomputed from the catalog (DeviceCatalog.bincount_table).
 
-NULL semantics match the reference exactly: a query is NULL iff a
-filter emptied a slot or any JOIN step produced zero pairs
+Per-row weights alpha*beta are exact in int32 under host-checked caps
+derived from load-time max multiplicities (models/batch.py:_ftree_caps);
+any query exceeding a cap falls back to the materialized path.
+
+NULL semantics match the reference exactly: NULL iff a filter emptied a
+slot (per-filtered-node emptiness flags, covering slots outside the
+final tree too) or any JOIN step produced zero pairs
 (/root/reference/Query.cpp:188-191); same-slot predicates never NULL.
-With all selections at-or-before the last join, "some join emptied" is
-equivalent to "the final joined multiset is empty", tested wrap-proof
-as any(live_root & beta_root > 0). Components wiped by a later case-1
-join (SURVEY.md §8.5) still contribute their emptiness flag via a
-flag-only tree (no projections).
+With all selections at-or-before the last join, "some join emptied" ==
+"final joined multiset empty", tested wrap-proof as
+any(mask_root & beta_root > 0). Components wiped by a later case-1 join
+(SURVEY.md §8.5) still gate NULL via flag-only trees, which run in the
+boolean semiring (0/1 messages — no overflow caps needed).
 
-Spec layout (static, hashable — built by models/batch.py:_plan_ftree):
+Spec layout (static, hashable — built by models/batch.py:_plan_ftree).
+Note it carries NO slot indices: two structurally identical trees over
+different relations share one compiled program.
 
-  spec = (nodes, pristine, n_sels, edges, projs)
-    nodes:    tuple of GLOBAL slot indices (group offsets applied)
-    pristine: per node, True = the slot has no filters, so its live set
-              is the identity and its columns arrive RAW (length n,
-              padded in-op) instead of being gathered through live_rows
-    n_sels:   per node, number of same-slot equality selections
-    edges:    (parent_node, child_node, pre_flag, needs_down) in
-              bottom-up order (every child edge precedes its parent's)
-    projs:    tuple of (node,) — one per emitted partial, each a
-              (5, 2) weighted_partials fold (combine on host with
-              combine_weighted_partials)
+  spec = (filts, n_sels, edges, flag_nodes, root, projs)
+    filts:      per node, tuple of filter opcodes (ops/filter.py
+                OP_EQ/OP_LT/OP_GT); each consumes one col + one val
+    n_sels:     per node, number of same-slot equality selections
+                (each consumes two cols)
+    edges:      (parent_node, child_node, pre_flag, needs_down) in
+                bottom-up order (every child edge precedes its
+                parent's); standalone flag-only nodes have no edges
+    flag_nodes: node indices whose mask-emptiness raises a NULL flag
+                (every filtered node, including slots outside the tree)
+    root:       the tree's root node index (M-emptiness flag source);
+                -1 for specs without a joined component
+    projs:      tuple of (node,) — one per emitted partial, each a
+                (5, 2) weighted_partials fold (combine on host with
+                combine_weighted_partials)
 
-Column consumption order (must match the planner):
-  1. per node, in node order: its selections' column pairs
-  2. per edge, in edge order: parent key column, child key column
-  3. per edge with pre_flag, in edge order: the precomputed bincount
-     table (DeviceCatalog.bincount_table — a pristine leaf's B table
-     is query-independent)
-  4. per projection, in projs order: the projection plane column
+Column/value consumption order (must match the planner):
+  cols: 1. per node in node order: its filter columns, then its
+           selection column pairs
+        2. per edge in edge order: parent key column, child key column
+        3. per edge with pre_flag, in edge order: the precomputed
+           bincount table
+        4. per projection, in projs order: the plane column
+  vals: per node in node order: its filter constants
 """
 
 from __future__ import annotations
@@ -63,52 +77,60 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.limbs import weighted_partials
+from ..utils.limbs import WCHUNK, weighted_partials
+from .filter import OP_EQ, OP_LT
 
 
-def run_ftree(spec, lr, lc, cols, domain):
-    """Execute one factorized tree. Returns (empty_flag, partials) with
-    one (5, 2) int32 weighted fold per projs entry. Traced inline under
-    the fused stage program (ops/stage.py)."""
-    nodes, pristine, n_sels, edges, projs = spec
-    k = len(nodes)
-    ci = 0
+def run_ftree(spec, cols, vals, domain):
+    """Execute one factorized tree. Returns (flags, partials): one bool
+    flag per flag_node plus the M-emptiness flag, and one (5, 2) int32
+    weighted fold per projs entry. Traced inline under the fused stage
+    program (ops/stage.py)."""
+    filts, n_sels, edges, flag_nodes, root, projs = spec
+    k = len(filts)
+    ci = vi = 0
 
-    def node_len(i):
-        return lr[nodes[i]].shape[0]
-
-    def get_col(i):
+    def next_col():
         nonlocal ci
         c = cols[ci]
         ci += 1
-        L = node_len(i)
-        if pristine[i]:
-            return c if c.shape[0] == L else jnp.pad(c, (0, L - c.shape[0]))
-        return c[lr[nodes[i]]]
+        return c
 
-    live = []
+    # per-node boolean masks: filters + same-slot selections, all free
+    # VPU compares at raw relation length
+    mask = []
     for i in range(k):
-        idx = jax.lax.broadcasted_iota(jnp.int32, (node_len(i),), 0)
-        live.append(idx < lc[nodes[i]])
-    for i in range(k):
+        m = None
+        for opc in filts[i]:
+            c = next_col()
+            v = vals[vi]
+            vi += 1
+            if opc == OP_EQ:
+                t = c == v
+            elif opc == OP_LT:
+                t = c < v
+            else:
+                t = c > v
+            m = t if m is None else m & t
         for _ in range(n_sels[i]):
-            a = get_col(i)
-            b = get_col(i)
-            live[i] = live[i] & (a == b)
+            a = next_col()
+            b = next_col()
+            t = a == b
+            m = t if m is None else m & t
+        mask.append(m)           # None == all rows live
+
+    flags = [(~jnp.any(mask[i])) for i in flag_nodes]
+
     pkey, ckey = [], []
-    for (p, c, _pre, _nd) in edges:
-        pkey.append(get_col(p))
-        ckey.append(get_col(c))
+    for (_p, _c, _pre, _nd) in edges:
+        pkey.append(next_col())
+        ckey.append(next_col())
     pre = []
     for (_p, _c, pre_flag, _nd) in edges:
-        if pre_flag:
-            pre.append(cols[ci])
-            ci += 1
-        else:
-            pre.append(None)
+        pre.append(next_col() if pre_flag else None)
 
     children = {i: [] for i in range(k)}
-    for ei, (p, c, _pre, _nd) in enumerate(edges):
+    for ei, (p, _c, _pre, _nd) in enumerate(edges):
         children[p].append(ei)
 
     # up pass (edges are bottom-up: beta[child] final before its edge).
@@ -122,9 +144,14 @@ def run_ftree(spec, lr, lc, cols, domain):
         if pre_flag:
             B = pre[ei]
         else:
-            kb = jnp.where(live[c], ckey[ei], np.int32(domain))
-            w = (jnp.int32(1) if beta[c] is None
-                 else jnp.where(live[c], beta[c], 0))
+            w = beta[c]
+            if mask[c] is not None:
+                kb = jnp.where(mask[c], ckey[ei], np.int32(domain))
+                w = (jnp.int32(1) if w is None
+                     else jnp.where(mask[c], w, 0))
+            else:
+                kb = ckey[ei]
+                w = jnp.int32(1) if w is None else w
             B = jnp.zeros(domain, jnp.int32).at[kb].add(w, mode="drop")
         cv = B[pkey[ei]]
         if boolean:
@@ -132,12 +159,15 @@ def run_ftree(spec, lr, lc, cols, domain):
         contrib[ei] = cv
         beta[p] = cv if beta[p] is None else beta[p] * cv
 
-    root = (({i for i in range(k)} - {e[1] for e in edges}).pop()
-            if edges else 0)
-    if beta[root] is None:
-        empty = ~jnp.any(live[root])
-    else:
-        empty = ~jnp.any(live[root] & (beta[root] > 0))
+    if root >= 0:
+        br, mr = beta[root], mask[root]
+        if br is None:
+            flags.append(jnp.array(False) if mr is None
+                         else ~jnp.any(mr))
+        elif mr is None:
+            flags.append(~jnp.any(br > 0))
+        else:
+            flags.append(~jnp.any(mr & (br > 0)))
 
     # down pass (reversed edge order == top-down)
     alpha = [None] * k         # None == all-ones
@@ -149,21 +179,33 @@ def run_ftree(spec, lr, lc, cols, domain):
         for ej in children[p]:
             if ej != ei:
                 w = contrib[ej] if w is None else w * contrib[ej]
-        kk = jnp.where(live[p], pkey[ei], np.int32(domain))
-        wv = jnp.int32(1) if w is None else jnp.where(live[p], w, 0)
+        if mask[p] is not None:
+            kk = jnp.where(mask[p], pkey[ei], np.int32(domain))
+            wv = (jnp.int32(1) if w is None
+                  else jnp.where(mask[p], w, 0))
+        else:
+            kk = pkey[ei]
+            wv = jnp.int32(1) if w is None else w
         A = jnp.zeros(domain, jnp.int32).at[kk].add(wv, mode="drop")
         alpha[c] = A[ckey[ei]]
 
     outs = []
     for (i,) in projs:
-        plane = get_col(i)
+        plane = next_col()
         m = beta[i]
         if alpha[i] is not None:
             m = alpha[i] if m is None else m * alpha[i]
-        L = node_len(i)
-        wfull = (live[i].astype(jnp.int32) if m is None
-                 else jnp.where(live[i], m, 0))
-        # count=L: selections make liveness non-prefix, so masking rides
-        # in the zeroed weights instead of weighted_partials' prefix mask
-        outs.append(weighted_partials(plane, wfull, np.int32(L)))
-    return empty, tuple(outs)
+        n = plane.shape[0]
+        if m is None:
+            w = (jnp.ones(n, jnp.int32) if mask[i] is None
+                 else mask[i].astype(jnp.int32))
+        else:
+            w = m if mask[i] is None else jnp.where(mask[i], m, 0)
+        # weighted_partials needs a WCHUNK-multiple length; masking rides
+        # in the zeroed weights (selections make liveness non-prefix)
+        L = max(-(-n // WCHUNK) * WCHUNK, WCHUNK)
+        if L != n:
+            plane = jnp.pad(plane, (0, L - n))
+            w = jnp.pad(w, (0, L - n))
+        outs.append(weighted_partials(plane, w, np.int32(L)))
+    return tuple(flags), tuple(outs)

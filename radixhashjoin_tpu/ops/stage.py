@@ -51,10 +51,11 @@ indexes the probes consumed by expansions):
       deferred-slot projection with no terminal join
   ("project_w", mi, row, mult_rows)      projection weighted by deferred
       multiplicities (pipeline ended on a row-filter join)
-  ("ftree", spec, n_cols)                ENTIRE tree-shaped query,
-      factorized (ops/factorized.py): filters feed live sets, then one
-      up/down count-message pass replaces every probe/expansion/
-      terminal; emits 1 NULL flag + per-projection-plane weighted folds
+  ("ftree", spec, n_cols, n_vals)        ENTIRE tree-shaped query,
+      factorized (ops/factorized.py): filters are boolean masks (no
+      live-set compaction at all), one up/down count-message pass
+      replaces every probe/expansion/terminal; emits per-filtered-node
+      NULL flags + the M-emptiness flag + per-plane weighted folds
 
 Column operands arrive in `cols` in plan order; filter constants in
 `vals`.
@@ -277,13 +278,16 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             ci += 1
         elif k == "ftree":
             # whole tree-shaped query, factorized: no materialization,
-            # one NULL flag + one (5,2) weighted fold per projection
+            # mask-based filters, per-filtered-node NULL flags + the
+            # M-emptiness flag + one (5,2) weighted fold per projection
             # plane (ops/factorized.py; flag-only when projs is empty)
-            _, spec, n_cols = op
+            _, spec, n_cols, n_vals = op
             fc = tuple(cols[ci:ci + n_cols])
+            fv = tuple(vals[vi:vi + n_vals])
             ci += n_cols
-            empty, outs = run_ftree(spec, lr, lc, fc, domain)
-            flags.append(empty)
+            vi += n_vals
+            fflags, outs = run_ftree(spec, fc, fv, domain)
+            flags.extend(fflags)
             partials.extend(outs)
         elif k == "project":
             _, mi, row = op
