@@ -386,35 +386,106 @@ class BatchExecutor:
 
     def _extract_tree(self, q: Query):
         """Walk the join sequence with the oracle's exact case semantics
-        (SURVEY.md §9). Returns (final_comp, wiped_comps) when every join
-        attaches a fresh slot — i.e. the query factorizes — else None.
+        (SURVEY.md §9). Returns (final_comp, wiped_comps) when the query
+        factorizes — every join attaches a fresh slot, OR re-joins
+        already-joined slots (case 3) in a way a union-find over
+        (slot, col) value-equivalence classes can rewrite away — else
+        None.
+
+        Case-3 rewriting (both slots already in the comp): the edge keeps
+        rows where col1[r1] == col2[r2]; every prior edge/selection forces
+        value equality within its class on all surviving rows, so
+          * both cols in one class -> the edge is an identity filter:
+            drop it (exact: rows are non-empty here unless the query is
+            already NULL, and each surviving row's pair is in the pair
+            set, so the join's NULL test cannot fire either);
+          * one col's class holds a column of the OTHER col's slot ->
+            the condition collapses to a SAME-SLOT selection, recorded
+            with born_of_join=True (its pair-set-empty NULL rule differs
+            from a native selection's only when trailing — see below);
+          * otherwise the cycle needs a composite key: fall back.
 
         A comp is {"nodes": slots in attach order (nodes[0] = root),
         "set", "edges": [(p_slot, p_col, c_slot, c_col)] in attach order,
-        "sels": [(slot, c1, c2, n_edges_at_append)]}. Case-1 and fresh
-        same-slot predicates WIPE the previous comp (§8.5/§8.2); wiped
-        comps with joins still gate NULL and come back flag-only."""
+        "sels": [(slot, c1, c2, n_edges_at_append, born_of_join)],
+        "trail": None | (slot, c1, c2, born_of_join) — at most one
+        selection sitting AFTER the last edge; ops/factorized.py excludes
+        it from the NULL flags (a trailing selection may empty the final
+        multiset without NULLing, oracle.py:121-124,133-142) and gates
+        NULL from the pre-selection rows instead}. Case-1 and fresh
+        same-slot predicates WIPE the previous comp (§8.5/§8.2) and reset
+        the equivalence classes; wiped comps with joins still gate NULL
+        and come back flag-only."""
         comp = None
         wiped = []
+        parent: dict = {}            # union-find over (slot, col)
+        members: dict = {}           # root -> set of (slot, col)
+
+        def find(x):
+            parent.setdefault(x, x)
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        def union(x, y):
+            rx, ry = find(x), find(y)
+            if rx == ry:
+                return
+            parent[ry] = rx
+            mx = members.setdefault(rx, {rx})
+            mx |= members.pop(ry, {ry})
 
         def new_comp(s):
+            parent.clear()
+            members.clear()
             return {"nodes": [s], "set": {s}, "edges": [], "sels": []}
 
         for j in q.joins:
             s1, c1, s2, c2 = j.slot1, j.col1, j.slot2, j.col2
             if s1 == s2:
                 if comp is not None and s1 in comp["set"]:
-                    comp["sels"].append((s1, c1, c2, len(comp["edges"])))
+                    comp["sels"].append((s1, c1, c2,
+                                         len(comp["edges"]), False))
                 else:
                     if comp is not None and comp["edges"]:
                         wiped.append(comp)
                     comp = new_comp(s1)
-                    comp["sels"].append((s1, c1, c2, 0))
+                    comp["sels"].append((s1, c1, c2, 0, False))
+                union((s1, c1), (s1, c2))
                 continue
             j1 = comp is not None and s1 in comp["set"]
             j2 = comp is not None and s2 in comp["set"]
             if j1 and j2:
-                return None                      # case 3: cycle
+                # case 3: rewrite via the value-equivalence classes
+                a, b = (s1, c1), (s2, c2)
+                ra, rb = find(a), find(b)
+                at = len(comp["edges"])
+                if ra == rb:
+                    # identity — but a selection pending at this exact
+                    # position could empty the rows first, and then the
+                    # join's pair set IS empty (NULL) while the dropped
+                    # edge would never notice: fall back in that case
+                    if any(s[3] == at for s in comp["sels"]):
+                        return None
+                    continue
+                sel = None
+                for (ms, mc) in members.get(ra, {ra}):
+                    if ms == s2:
+                        sel = (s2, c2, mc)
+                        break
+                if sel is None:
+                    for (ms, mc) in members.get(rb, {rb}):
+                        if ms == s1:
+                            sel = (s1, c1, mc)
+                            break
+                if sel is None:
+                    return None      # genuine composite-key cycle
+                comp["sels"].append((*sel, at, True))
+                union(a, b)
+                continue
             if not j1 and not j2:
                 if comp is not None and comp["edges"]:
                     wiped.append(comp)
@@ -427,15 +498,29 @@ class BatchExecutor:
                 comp["nodes"].append(ch)
                 comp["set"].add(ch)
                 comp["edges"].append((p, pc, ch, cc))
+            union((s1, c1), (s2, c2))
         if comp is None or not comp["edges"]:
             return None
-        # a selection AFTER the last join makes the final multiset
-        # differ from the last join's output; NULL detection would need
-        # a second message pass — rare, so fall back instead
-        if any(at == len(comp["edges"]) for *_x, at in comp["sels"]):
+        # selections AFTER the last join make the final multiset differ
+        # from the last join's output; ops/factorized.py handles exactly
+        # one via the trailing-selection machinery (pre-selection NULL
+        # gating) — more than one would need progressive re-masking
+        ne = len(comp["edges"])
+        trailing = [s for s in comp["sels"] if s[3] == ne]
+        if len(trailing) > 1:
             return None
+        comp["trail"] = ((trailing[0][0], trailing[0][1], trailing[0][2],
+                          trailing[0][4]) if trailing else None)
+        comp["sels"] = [s for s in comp["sels"] if s[3] < ne]
         for w in wiped:
+            # a trailing NATIVE selection in a wiped comp cannot NULL and
+            # the case-1 wipe ignores its rows — drop it; a trailing
+            # JOIN-BORN one still carries the pair-set NULL test, which
+            # flag-only trees don't model — fall back
+            if any(s[3] >= len(w["edges"]) and s[4] for s in w["sels"]):
+                return None
             w["sels"] = [s for s in w["sels"] if s[3] < len(w["edges"])]
+            w["trail"] = None
         return comp, wiped
 
     _CAP = 2**31
@@ -498,7 +583,7 @@ class BatchExecutor:
             if f.slot in idx_of:
                 filts_by[idx_of[f.slot]].append(f)
         sels_by = {i: [] for i in range(len(nodes))}
-        for (s, c1, c2, _at) in comp["sels"]:
+        for (s, c1, c2, _at, _born) in comp["sels"]:
             sels_by[idx_of[s]].append((c1, c2))
         cols, vals = [], []
         filt_ops = []
@@ -513,11 +598,21 @@ class BatchExecutor:
             for (c1, c2) in sels_by[i]:
                 cols.append(cat.col(q.slots[s], c1))
                 cols.append(cat.col(q.slots[s], c2))
+        trail = comp.get("trail")
+        trail_spec = None
+        if trail is not None:
+            ts, tc1, tc2, tborn = trail
+            trail_spec = (idx_of[ts], tborn)
+            cols.append(cat.col(q.slots[ts], tc1))
+            cols.append(cat.col(q.slots[ts], tc2))
         edges_bu = list(reversed(comp["edges"]))
         proj_nodes = set()
         if with_projs:
             proj_nodes = {idx_of[p.slot] for p in q.projections
                           if p.slot in comp["set"]}
+        if trail_spec is not None:
+            # the trailing NULL gate needs alpha at the trailing node
+            proj_nodes = proj_nodes | {trail_spec[0]}
         # needs_down: the child's subtree contains a projection node
         in_subtree = {i: {i} for i in range(len(nodes))}
         for (p, _pc, c, _cc) in reversed(comp["edges"]):
@@ -527,7 +622,8 @@ class BatchExecutor:
         for (p, pc, c, cc) in edges_bu:
             pi, ci_ = idx_of[p], idx_of[c]
             pre = (ci_ not in has_children and not filts_by[ci_]
-                   and not sels_by[ci_])
+                   and not sels_by[ci_]
+                   and (trail_spec is None or ci_ != trail_spec[0]))
             needs_down = bool(in_subtree[ci_] & proj_nodes)
             spec_edges.append((pi, ci_, pre, needs_down))
             cols.append(cat.col(q.slots[p], pc))
@@ -550,7 +646,7 @@ class BatchExecutor:
         spec = (tuple(filt_ops),
                 tuple(len(sels_by[i]) for i in range(len(nodes))),
                 tuple(spec_edges), flag_nodes,
-                idx_of[comp["nodes"][0]], tuple(projs))
+                idx_of[comp["nodes"][0]], tuple(projs), trail_spec)
         n_flags = len(flag_nodes) + 1
         return ("ftree", spec, len(cols), len(vals)), cols, vals, n_flags
 

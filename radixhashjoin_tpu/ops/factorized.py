@@ -45,7 +45,7 @@ Spec layout (static, hashable — built by models/batch.py:_plan_ftree).
 Note it carries NO slot indices: two structurally identical trees over
 different relations share one compiled program.
 
-  spec = (filts, n_sels, edges, flag_nodes, root, projs)
+  spec = (filts, n_sels, edges, flag_nodes, root, projs, trail)
     filts:      per node, tuple of filter opcodes (ops/filter.py
                 OP_EQ/OP_LT/OP_GT); each consumes one col + one val
     n_sels:     per node, number of same-slot equality selections
@@ -60,10 +60,20 @@ different relations share one compiled program.
     projs:      tuple of (node,) — one per emitted partial, each a
                 (5, 2) weighted_partials fold (combine on host with
                 combine_weighted_partials)
+    trail:      None, or (node, born_of_join) — ONE selection sitting
+                AFTER the last join (consumes two cols). It filters the
+                final multiset (rides messages + sum weights) but not
+                the NULL flags; it REPLACES the root M-emptiness flag
+                with a pre-selection gate: born_of_join (a rewritten
+                case-3 edge, models/batch.py:_extract_tree) => NULL iff
+                the edge's pair set is empty (support-intersection
+                test); native => NULL iff the pre-selection multiset is
+                empty. Oracle semantics: oracle.py:121-142.
 
 Column/value consumption order (must match the planner):
   cols: 1. per node in node order: its filter columns, then its
            selection column pairs
+        1b. the trailing selection's column pair, if any
         2. per edge in edge order: parent key column, child key column
         3. per edge with pre_flag, in edge order: the precomputed
            bincount table
@@ -86,7 +96,7 @@ def run_ftree(spec, cols, vals, domain):
     flag per flag_node plus the M-emptiness flag, and one (5, 2) int32
     weighted fold per projs entry. Traced inline under the fused stage
     program (ops/stage.py)."""
-    filts, n_sels, edges, flag_nodes, root, projs = spec
+    filts, n_sels, edges, flag_nodes, root, projs, trail = spec
     k = len(filts)
     ci = vi = 0
 
@@ -119,6 +129,23 @@ def run_ftree(spec, cols, vals, domain):
             m = t if m is None else m & t
         mask.append(m)           # None == all rows live
 
+    # the trailing selection (at most one, models/batch.py:_extract_tree)
+    # filters the FINAL multiset: it rides the outgoing messages and sum
+    # weights (msg_mask) but stays out of `mask`, which feeds the NULL
+    # flags — a trailing selection may zero every sum without NULLing
+    # (oracle.py:121-124,133-142)
+    msg_mask = list(mask)
+    tnode = tsel_a = tsel_b = None
+    if trail is not None:
+        # (a projection-free final comp runs boolean — the part/hit gate
+        # below only tests >0, so the clamped messages stay correct)
+        tnode, tborn = trail
+        tsel_a = next_col()
+        tsel_b = next_col()
+        tsel = tsel_a == tsel_b
+        msg_mask[tnode] = (tsel if mask[tnode] is None
+                           else mask[tnode] & tsel)
+
     flags = [(~jnp.any(mask[i])) for i in flag_nodes]
 
     pkey, ckey = [], []
@@ -145,10 +172,10 @@ def run_ftree(spec, cols, vals, domain):
             B = pre[ei]
         else:
             w = beta[c]
-            if mask[c] is not None:
-                kb = jnp.where(mask[c], ckey[ei], np.int32(domain))
+            if msg_mask[c] is not None:
+                kb = jnp.where(msg_mask[c], ckey[ei], np.int32(domain))
                 w = (jnp.int32(1) if w is None
-                     else jnp.where(mask[c], w, 0))
+                     else jnp.where(msg_mask[c], w, 0))
             else:
                 kb = ckey[ei]
                 w = jnp.int32(1) if w is None else w
@@ -159,7 +186,7 @@ def run_ftree(spec, cols, vals, domain):
         contrib[ei] = cv
         beta[p] = cv if beta[p] is None else beta[p] * cv
 
-    if root >= 0:
+    if root >= 0 and trail is None:
         br, mr = beta[root], mask[root]
         if br is None:
             flags.append(jnp.array(False) if mr is None
@@ -179,15 +206,42 @@ def run_ftree(spec, cols, vals, domain):
         for ej in children[p]:
             if ej != ei:
                 w = contrib[ej] if w is None else w * contrib[ej]
-        if mask[p] is not None:
-            kk = jnp.where(mask[p], pkey[ei], np.int32(domain))
+        if msg_mask[p] is not None:
+            kk = jnp.where(msg_mask[p], pkey[ei], np.int32(domain))
             wv = (jnp.int32(1) if w is None
-                  else jnp.where(mask[p], w, 0))
+                  else jnp.where(msg_mask[p], w, 0))
         else:
             kk = pkey[ei]
             wv = jnp.int32(1) if w is None else w
         A = jnp.zeros(domain, jnp.int32).at[kk].add(wv, mode="drop")
         alpha[c] = A[ckey[ei]]
+
+    if trail is not None:
+        # NULL gate from the PRE-selection rows. part[r] == row r of the
+        # trailing node participates in the joined multiset before the
+        # trailing selection (alpha/beta are messages from the REST of
+        # the tree — they never include this node's own masks).
+        part = jnp.ones(tsel_a.shape[0], bool)
+        if mask[tnode] is not None:
+            part &= mask[tnode]
+        if beta[tnode] is not None:
+            part &= beta[tnode] > 0
+        if alpha[tnode] is not None:
+            part &= alpha[tnode] > 0
+        if tborn:
+            # join-born (rewritten case-3 edge): NULL iff its PAIR SET is
+            # empty (oracle.py:133-142) <=> no participating row's left
+            # class value equals any participating row's right value —
+            # a support-intersection test over one dense domain table
+            supp = jnp.zeros(domain, jnp.int32).at[
+                jnp.where(part, tsel_a, np.int32(domain))].max(
+                part.astype(jnp.int32), mode="drop")
+            flags.append(~jnp.any((supp[tsel_b] > 0) & part))
+        else:
+            # native same-slot predicate: never NULLs by itself
+            # (Query.cpp:168-170) — NULL iff some JOIN emptied, i.e. the
+            # pre-selection multiset is empty
+            flags.append(~jnp.any(part))
 
     outs = []
     for (i,) in projs:
@@ -197,10 +251,10 @@ def run_ftree(spec, cols, vals, domain):
             m = alpha[i] if m is None else m * alpha[i]
         n = plane.shape[0]
         if m is None:
-            w = (jnp.ones(n, jnp.int32) if mask[i] is None
-                 else mask[i].astype(jnp.int32))
+            w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
+                 else msg_mask[i].astype(jnp.int32))
         else:
-            w = m if mask[i] is None else jnp.where(mask[i], m, 0)
+            w = m if msg_mask[i] is None else jnp.where(msg_mask[i], m, 0)
         # weighted_partials needs a WCHUNK-multiple length; masking rides
         # in the zeroed weights (selections make liveness non-prefix)
         L = max(-(-n // WCHUNK) * WCHUNK, WCHUNK)
