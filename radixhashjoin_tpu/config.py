@@ -28,11 +28,13 @@ class EngineConfig:
     # Fuse each query into one compiled program per readback boundary
     # (dense backend only); False = one dispatch per operator.
     fuse_stages: bool = True
-    # Queries packed into one fused program per round. 1 (default) lets
-    # async dispatch pipeline per-query programs — measured fastest on the
-    # axon transport; raise it on links where the host cannot pipeline
-    # dispatches.
-    stage_group: int = 1
+    # Queries packed into one fused program per round. Grouping is what
+    # lets ftree_wave merge message kernels across queries (O(tree
+    # height) kernels per round); on the axon tunnel the sweep is flat
+    # (~52 ms at every group size — the wall is the per-RPC floor), on
+    # local hardware fewer dispatches/kernels win outright. 8 balances
+    # wave batching against program-cache reuse across varying batches.
+    stage_group: int = 8
     # Defer a middle join's fresh attach when no later join references the
     # attached slot (any depth, any number of slots): rows never expand (a
     # mult row carries the multiplicity) and the readback boundary
@@ -50,6 +52,11 @@ class EngineConfig:
     # NO materialization at all (ops/factorized.py) when its exact int32
     # overflow caps hold; cyclic / over-cap queries use the paths above.
     factorized: bool = True
+    # Wave batching: merge every factorized query in a round into ONE
+    # ftree_wave op whose same-level message scatters/gathers fuse into
+    # single segmented-domain kernels across queries — O(tree height)
+    # kernels per round instead of O(queries x edges).
+    ftree_wave: bool = True
     # Prefer the native (C++) host runtime for loading/parsing when built.
     use_native_runtime: bool = True
 

@@ -5,10 +5,10 @@ The reference materializes every join's output rows and sums at the end
 column_proj, /root/reference/Query.cpp:66-74) — 97.7% of its runtime.
 The engine's deferred-attach machinery already avoids materializing
 SOME joins; this module generalizes it to the whole query: when the
-join sequence forms a TREE (every join attaches a fresh slot — 44/50
-golden queries), NOTHING is ever materialized. SUM projections factor
-into per-relation "count messages" over the join tree (the classic
-Yannakakis / factorized-aggregation structure):
+join sequence forms a TREE (every join attaches a fresh slot — after
+case-3 rewriting, all 50 golden queries), NOTHING is ever materialized.
+SUM projections factor into per-relation "count messages" over the join
+tree (the classic Yannakakis / factorized-aggregation structure):
 
   up pass    beta[s][r]  = product over child edges e of B_e[key_s(r)]
              B_e[v]      = sum of beta[child] over live child rows with
@@ -26,6 +26,14 @@ on the golden data) — no padding, no gathers through live sets — so the
 only remaining gather/scatter kernels are the message tables themselves,
 and a pristine (unfiltered, selection-free) leaf's B table comes
 precomputed from the catalog (DeviceCatalog.bincount_table).
+
+WAVE BATCHING (run_ftree_wave): on a remote-attached chip each
+non-fused scatter/gather kernel costs ~0.1 ms of scheduling, so a
+50-query batch at ~5 kernels/query pays ~25 ms regardless of data size.
+The wave runner executes MANY queries' trees in one program, merging
+every scatter and gather at the same tree LEVEL across queries into one
+segmented-domain kernel (edge i gets domain slice [i*D, (i+1)*D)):
+kernel count drops from O(queries x edges) to O(tree height).
 
 Per-row weights alpha*beta are exact in int32 under host-checked caps
 derived from load-time max multiplicities (models/batch.py:_ftree_caps);
@@ -91,13 +99,28 @@ from ..utils.limbs import WCHUNK, weighted_partials
 from .filter import OP_EQ, OP_LT
 
 
-def run_ftree(spec, cols, vals, domain):
-    """Execute one factorized tree. Returns (flags, partials): one bool
-    flag per flag_node plus the M-emptiness flag, and one (5, 2) int32
-    weighted fold per projs entry. Traced inline under the fused stage
-    program (ops/stage.py)."""
+class _Tree:
+    """Per-spec traced state inside a wave."""
+
+    __slots__ = ("spec", "edges", "flag_nodes", "root", "projs",
+                 "mask", "msg_mask", "tnode", "tborn", "tsel_a", "tsel_b",
+                 "pkey", "ckey", "pre", "children", "boolean",
+                 "beta", "contrib", "alpha", "seg", "planes",
+                 "by_height", "by_depth")
+
+
+def _parse_spec(spec, cols, vals, domain):
+    """Consume one spec's cols/vals (doc order above) into a _Tree:
+    masks, key columns, pre tables, plus static height/depth schedules
+    for the wave's level-batched passes."""
     filts, n_sels, edges, flag_nodes, root, projs, trail = spec
     k = len(filts)
+    t = _Tree()
+    t.spec = spec
+    t.edges = edges
+    t.flag_nodes = flag_nodes
+    t.root = root
+    t.projs = projs
     ci = vi = 0
 
     def next_col():
@@ -116,150 +139,268 @@ def run_ftree(spec, cols, vals, domain):
             v = vals[vi]
             vi += 1
             if opc == OP_EQ:
-                t = c == v
+                tt = c == v
             elif opc == OP_LT:
-                t = c < v
+                tt = c < v
             else:
-                t = c > v
-            m = t if m is None else m & t
+                tt = c > v
+            m = tt if m is None else m & tt
         for _ in range(n_sels[i]):
             a = next_col()
             b = next_col()
-            t = a == b
-            m = t if m is None else m & t
+            tt = a == b
+            m = tt if m is None else m & tt
         mask.append(m)           # None == all rows live
+    t.mask = mask
 
     # the trailing selection (at most one, models/batch.py:_extract_tree)
     # filters the FINAL multiset: it rides the outgoing messages and sum
     # weights (msg_mask) but stays out of `mask`, which feeds the NULL
     # flags — a trailing selection may zero every sum without NULLing
-    # (oracle.py:121-124,133-142)
-    msg_mask = list(mask)
-    tnode = tsel_a = tsel_b = None
+    # (oracle.py:121-124,133-142). A projection-free final comp runs
+    # boolean; the part/hit gate only tests >0, so clamped messages stay
+    # correct there.
+    t.msg_mask = list(mask)
+    t.tnode = t.tsel_a = t.tsel_b = t.tborn = None
     if trail is not None:
-        # (a projection-free final comp runs boolean — the part/hit gate
-        # below only tests >0, so the clamped messages stay correct)
-        tnode, tborn = trail
-        tsel_a = next_col()
-        tsel_b = next_col()
-        tsel = tsel_a == tsel_b
-        msg_mask[tnode] = (tsel if mask[tnode] is None
-                           else mask[tnode] & tsel)
+        t.tnode, t.tborn = trail
+        t.tsel_a = next_col()
+        t.tsel_b = next_col()
+        tsel = t.tsel_a == t.tsel_b
+        t.msg_mask[t.tnode] = (tsel if mask[t.tnode] is None
+                               else mask[t.tnode] & tsel)
 
-    flags = [(~jnp.any(mask[i])) for i in flag_nodes]
-
-    pkey, ckey = [], []
-    for (_p, _c, _pre, _nd) in edges:
-        pkey.append(next_col())
-        ckey.append(next_col())
-    pre = []
+    t.pkey, t.ckey = [], []
+    for _ in edges:
+        t.pkey.append(next_col())
+        t.ckey.append(next_col())
+    t.pre = []
     for (_p, _c, pre_flag, _nd) in edges:
-        pre.append(next_col() if pre_flag else None)
+        t.pre.append(next_col() if pre_flag else None)
+    t.planes = [next_col() for _ in projs]
 
-    children = {i: [] for i in range(k)}
+    t.children = {i: [] for i in range(k)}
     for ei, (p, _c, _pre, _nd) in enumerate(edges):
-        children[p].append(ei)
+        t.children[p].append(ei)
 
-    # up pass (edges are bottom-up: beta[child] final before its edge).
-    # Flag-only trees (no projs — wiped components gating NULL) run in
+    # flag-only trees (no projs — wiped components gating NULL) run in
     # the BOOLEAN semiring: 0/1 messages, table entries bounded by the
-    # child's row count, so no overflow caps are needed for them.
-    boolean = not projs
-    beta = [None] * k          # None == all-ones
-    contrib = [None] * len(edges)
-    for ei, (p, c, pre_flag, _nd) in enumerate(edges):
-        if pre_flag:
-            B = pre[ei]
-        else:
-            w = beta[c]
-            if msg_mask[c] is not None:
-                kb = jnp.where(msg_mask[c], ckey[ei], np.int32(domain))
-                w = (jnp.int32(1) if w is None
-                     else jnp.where(msg_mask[c], w, 0))
-            else:
-                kb = ckey[ei]
-                w = jnp.int32(1) if w is None else w
-            B = jnp.zeros(domain, jnp.int32).at[kb].add(w, mode="drop")
-        cv = B[pkey[ei]]
-        if boolean:
-            cv = (cv > 0).astype(jnp.int32)
-        contrib[ei] = cv
-        beta[p] = cv if beta[p] is None else beta[p] * cv
+    # child's row count, so no overflow caps are needed for them
+    t.boolean = not projs
+    t.beta = [None] * k
+    t.alpha = [None] * k
+    t.contrib = [None] * len(edges)
+    t.seg = [0] * len(edges)
 
-    if root >= 0 and trail is None:
-        br, mr = beta[root], mask[root]
-        if br is None:
-            flags.append(jnp.array(False) if mr is None
-                         else ~jnp.any(mr))
-        elif mr is None:
-            flags.append(~jnp.any(br > 0))
-        else:
-            flags.append(~jnp.any(mr & (br > 0)))
-
-    # down pass (reversed edge order == top-down)
-    alpha = [None] * k         # None == all-ones
-    for ei in reversed(range(len(edges))):
+    # static schedules. height(e) = 1 + max height of the child node's
+    # incoming edges (bottom-up order makes this a single sweep); a
+    # parent's edge always has greater height than every edge into its
+    # child, so processing heights in order keeps beta[child] final
+    # before its edge fires.
+    height = [0] * len(edges)
+    node_h = {}
+    t.by_height = {}
+    for ei, (p, c, _pre, _nd) in enumerate(edges):
+        h = node_h.get(c, 0) + 1
+        height[ei] = h
+        node_h[p] = max(node_h.get(p, 0), h)
+        t.by_height.setdefault(h, []).append(ei)
+    # depth(e) = distance of the parent node from the root along
+    # needs_down edges (needs_down(e) implies needs_down(incoming(p)),
+    # so the chain is always assigned)
+    incoming = {c: ei for ei, (_p, c, _pre, _nd) in enumerate(edges)}
+    depth = {}
+    t.by_depth = {}
+    for ei in reversed(range(len(edges))):     # top-down
         p, c, _pre, needs_down = edges[ei]
         if not needs_down:
             continue
-        w = alpha[p]
-        for ej in children[p]:
-            if ej != ei:
-                w = contrib[ej] if w is None else w * contrib[ej]
-        if msg_mask[p] is not None:
-            kk = jnp.where(msg_mask[p], pkey[ei], np.int32(domain))
-            wv = (jnp.int32(1) if w is None
-                  else jnp.where(msg_mask[p], w, 0))
-        else:
-            kk = pkey[ei]
-            wv = jnp.int32(1) if w is None else w
-        A = jnp.zeros(domain, jnp.int32).at[kk].add(wv, mode="drop")
-        alpha[c] = A[ckey[ei]]
+        d = depth[incoming[p]] + 1 if p in incoming else 0
+        depth[ei] = d
+        t.by_depth.setdefault(d, []).append(ei)
+    return t
 
-    if trail is not None:
-        # NULL gate from the PRE-selection rows. part[r] == row r of the
-        # trailing node participates in the joined multiset before the
-        # trailing selection (alpha/beta are messages from the REST of
-        # the tree — they never include this node's own masks).
-        part = jnp.ones(tsel_a.shape[0], bool)
-        if mask[tnode] is not None:
-            part &= mask[tnode]
-        if beta[tnode] is not None:
-            part &= beta[tnode] > 0
-        if alpha[tnode] is not None:
-            part &= alpha[tnode] > 0
-        if tborn:
-            # join-born (rewritten case-3 edge): NULL iff its PAIR SET is
-            # empty (oracle.py:133-142) <=> no participating row's left
-            # class value equals any participating row's right value —
-            # a support-intersection test over one dense domain table
-            supp = jnp.zeros(domain, jnp.int32).at[
-                jnp.where(part, tsel_a, np.int32(domain))].max(
-                part.astype(jnp.int32), mode="drop")
-            flags.append(~jnp.any((supp[tsel_b] > 0) & part))
-        else:
-            # native same-slot predicate: never NULLs by itself
-            # (Query.cpp:168-170) — NULL iff some JOIN emptied, i.e. the
-            # pre-selection multiset is empty
-            flags.append(~jnp.any(part))
 
-    outs = []
-    for (i,) in projs:
-        plane = next_col()
-        m = beta[i]
-        if alpha[i] is not None:
-            m = alpha[i] if m is None else m * alpha[i]
-        n = plane.shape[0]
-        if m is None:
-            w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
-                 else msg_mask[i].astype(jnp.int32))
-        else:
-            w = m if msg_mask[i] is None else jnp.where(msg_mask[i], m, 0)
-        # weighted_partials needs a WCHUNK-multiple length; masking rides
-        # in the zeroed weights (selections make liveness non-prefix)
-        L = max(-(-n // WCHUNK) * WCHUNK, WCHUNK)
-        if L != n:
-            plane = jnp.pad(plane, (0, L - n))
-            w = jnp.pad(w, (0, L - n))
-        outs.append(weighted_partials(plane, w, np.int32(L)))
+def _concat(parts):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def run_ftree_wave(wspecs, cols, vals, domain):
+    """Execute MANY factorized trees in one traced program, batching all
+    same-level message scatters/gathers across trees into single
+    segmented-domain kernels.
+
+    wspecs: tuple of (spec, n_cols, n_vals); cols/vals hold every spec's
+    operands back to back. Returns (flags, partials) flat, in spec order
+    (within a spec: flag_nodes flags, then the M/trailing flag)."""
+    D = domain
+    trees = []
+    ci = vi = 0
+    for spec, nc, nv in wspecs:
+        trees.append(_parse_spec(spec, cols[ci:ci + nc],
+                                 vals[vi:vi + nv], D))
+        ci += nc
+        vi += nv
+
+    # ---- up pass, level-batched across trees ----
+    maxh = max((h for t in trees for h in t.by_height), default=0)
+    for h in range(1, maxh + 1):
+        ups = [(t, ei) for t in trees for ei in t.by_height.get(h, ())]
+        if not ups:
+            continue
+        sc = [(t, ei) for (t, ei) in ups if t.pre[ei] is None]
+        pr = [(t, ei) for (t, ei) in ups if t.pre[ei] is not None]
+        nsc = len(sc)
+        parts = []
+        if sc:
+            sent = np.int32(nsc * D)      # mode="drop" sentinel
+            idxs, ws = [], []
+            for s, (t, ei) in enumerate(sc):
+                t.seg[ei] = s
+                _p, c, _pre, _nd = t.edges[ei]
+                key = t.ckey[ei]
+                off = np.int32(s * D)
+                w = t.beta[c]
+                mm = t.msg_mask[c]
+                if mm is not None:
+                    idxs.append(jnp.where(mm, key + off, sent))
+                    ws.append(jnp.where(mm, 1, 0) if w is None
+                              else jnp.where(mm, w, 0))
+                else:
+                    idxs.append(key + off)
+                    ws.append(jnp.ones(key.shape[0], jnp.int32)
+                              if w is None else w)
+            parts.append(jnp.zeros(nsc * D, jnp.int32)
+                         .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+        for j, (t, ei) in enumerate(pr):
+            t.seg[ei] = nsc + j
+            parts.append(t.pre[ei])
+        mega = _concat(parts)
+        gks, meta = [], []
+        for (t, ei) in sc + pr:
+            gk = t.pkey[ei] + np.int32(t.seg[ei] * D)
+            gks.append(gk)
+            meta.append((t, ei, gk.shape[0]))
+        g = mega[_concat(gks)]
+        o = 0
+        for (t, ei, n) in meta:
+            cv = g[o:o + n]
+            o += n
+            if t.boolean:
+                cv = (cv > 0).astype(jnp.int32)
+            t.contrib[ei] = cv
+            p = t.edges[ei][0]
+            t.beta[p] = cv if t.beta[p] is None else t.beta[p] * cv
+
+    # ---- down pass, level-batched (top-down depths) ----
+    maxd = max((d for t in trees for d in t.by_depth), default=-1)
+    for d in range(0, maxd + 1):
+        downs = [(t, ei) for t in trees for ei in t.by_depth.get(d, ())]
+        if not downs:
+            continue
+        nsc = len(downs)
+        sent = np.int32(nsc * D)
+        idxs, ws = [], []
+        for s, (t, ei) in enumerate(downs):
+            t.seg[ei] = s
+            p, _c, _pre, _nd = t.edges[ei]
+            w = t.alpha[p]
+            for ej in t.children[p]:
+                if ej != ei:
+                    w = (t.contrib[ej] if w is None
+                         else w * t.contrib[ej])
+            key = t.pkey[ei]
+            off = np.int32(s * D)
+            mm = t.msg_mask[p]
+            if mm is not None:
+                idxs.append(jnp.where(mm, key + off, sent))
+                ws.append(jnp.where(mm, 1, 0) if w is None
+                          else jnp.where(mm, w, 0))
+            else:
+                idxs.append(key + off)
+                ws.append(jnp.ones(key.shape[0], jnp.int32)
+                          if w is None else w)
+        A = (jnp.zeros(nsc * D, jnp.int32)
+             .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+        gks, meta = [], []
+        for (t, ei) in downs:
+            gk = t.ckey[ei] + np.int32(t.seg[ei] * D)
+            gks.append(gk)
+            meta.append((t, ei, gk.shape[0]))
+        g = A[_concat(gks)]
+        o = 0
+        for (t, ei, n) in meta:
+            t.alpha[t.edges[ei][1]] = g[o:o + n]
+            o += n
+
+    # ---- flags + sums per tree, emitted in spec order ----
+    flags, outs = [], []
+    for t in trees:
+        mask, msg_mask = t.mask, t.msg_mask
+        flags.extend(~jnp.any(mask[i]) for i in t.flag_nodes)
+        if t.root >= 0 and t.tnode is None:
+            br, mr = t.beta[t.root], mask[t.root]
+            if br is None:
+                flags.append(jnp.array(False) if mr is None
+                             else ~jnp.any(mr))
+            elif mr is None:
+                flags.append(~jnp.any(br > 0))
+            else:
+                flags.append(~jnp.any(mr & (br > 0)))
+        elif t.tnode is not None:
+            # NULL gate from the PRE-selection rows. part[r] == row r of
+            # the trailing node participates in the joined multiset
+            # before the trailing selection (alpha/beta are messages
+            # from the REST of the tree — they never include this node's
+            # own masks).
+            part = jnp.ones(t.tsel_a.shape[0], bool)
+            if mask[t.tnode] is not None:
+                part &= mask[t.tnode]
+            if t.beta[t.tnode] is not None:
+                part &= t.beta[t.tnode] > 0
+            if t.alpha[t.tnode] is not None:
+                part &= t.alpha[t.tnode] > 0
+            if t.tborn:
+                # join-born (rewritten case-3 edge): NULL iff its PAIR
+                # SET is empty (oracle.py:133-142) <=> no participating
+                # row's left class value equals any participating row's
+                # right value — a support-intersection test over one
+                # dense domain table
+                supp = jnp.zeros(D, jnp.int32).at[
+                    jnp.where(part, t.tsel_a, np.int32(D))].max(
+                    part.astype(jnp.int32), mode="drop")
+                flags.append(~jnp.any((supp[t.tsel_b] > 0) & part))
+            else:
+                # native same-slot predicate: never NULLs by itself
+                # (Query.cpp:168-170) — NULL iff some JOIN emptied,
+                # i.e. the pre-selection multiset is empty
+                flags.append(~jnp.any(part))
+        for (i,), plane in zip(t.projs, t.planes):
+            m = t.beta[i]
+            if t.alpha[i] is not None:
+                m = t.alpha[i] if m is None else m * t.alpha[i]
+            n = plane.shape[0]
+            if m is None:
+                w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
+                     else msg_mask[i].astype(jnp.int32))
+            else:
+                w = (m if msg_mask[i] is None
+                     else jnp.where(msg_mask[i], m, 0))
+            # weighted_partials needs a WCHUNK-multiple length; masking
+            # rides in the zeroed weights (selections make liveness
+            # non-prefix)
+            L = max(-(-n // WCHUNK) * WCHUNK, WCHUNK)
+            if L != n:
+                plane = jnp.pad(plane, (0, L - n))
+                w = jnp.pad(w, (0, L - n))
+            outs.append(weighted_partials(plane, w, np.int32(L)))
     return tuple(flags), tuple(outs)
+
+
+def run_ftree(spec, cols, vals, domain):
+    """Execute one factorized tree (a single-spec wave). Returns
+    (flags, partials): one bool flag per flag_node plus the M-emptiness
+    flag, and one (5, 2) int32 weighted fold per projs entry. Traced
+    inline under the fused stage program (ops/stage.py)."""
+    return run_ftree_wave(((spec, len(cols), len(vals)),),
+                          tuple(cols), tuple(vals), domain)

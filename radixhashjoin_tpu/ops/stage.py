@@ -56,6 +56,11 @@ indexes the probes consumed by expansions):
       live-set compaction at all), one up/down count-message pass
       replaces every probe/expansion/terminal; emits per-filtered-node
       NULL flags + the M-emptiness flag + per-plane weighted folds
+  ("ftree_wave", wspecs, n_cols, n_vals) MANY factorized queries in one
+      op (wspecs = tuple of (spec, n_cols, n_vals)): all same-level
+      message scatters/gathers merge into single segmented-domain
+      kernels across queries — O(tree height) kernels instead of
+      O(queries x edges) on a transport where each kernel costs ~0.1 ms
 
 Column operands arrive in `cols` in plan order; filter constants in
 `vals`.
@@ -74,7 +79,7 @@ from .backend import (_expand_attach_dense, _expand_pair_dense,
                       _probe_matrix_dense, _probe_rows_dense)
 from .chain import eq_filter_matrix, eq_filter_rows
 from .compact import compact_mask_positions
-from .factorized import run_ftree
+from .factorized import run_ftree, run_ftree_wave
 from .filter import filter_full, filter_live
 from .join_dense import dense_any_common
 from .terminal import (_dense_counts, _fresh_sum_weighted,
@@ -287,6 +292,19 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             ci += n_cols
             vi += n_vals
             fflags, outs = run_ftree(spec, fc, fv, domain)
+            flags.extend(fflags)
+            partials.extend(outs)
+        elif k == "ftree_wave":
+            # MANY factorized queries with level-batched message kernels
+            # (ops/factorized.py:run_ftree_wave); flags/partials arrive
+            # in per-query order, exactly as the per-query ops would
+            # emit them
+            _, wspecs, n_cols, n_vals = op
+            fc = tuple(cols[ci:ci + n_cols])
+            fv = tuple(vals[vi:vi + n_vals])
+            ci += n_cols
+            vi += n_vals
+            fflags, outs = run_ftree_wave(wspecs, fc, fv, domain)
             flags.extend(fflags)
             partials.extend(outs)
         elif k == "project":
