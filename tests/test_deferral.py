@@ -106,6 +106,7 @@ def test_deferral_cleared_by_case1_wipe():
     _run(rels, q)
 
 
+@pytest.mark.slow
 def test_speculation_retry_on_undersized_estimate():
     # force mis-speculation: slack ~0 under-sizes every expansion; the
     # device flag must trigger an exact-path retry with identical results

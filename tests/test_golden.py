@@ -19,6 +19,7 @@ def jax_engine(small_catalog):
     return Engine(small_catalog, EngineConfig())
 
 
+@pytest.mark.slow
 def test_jax_per_query_golden_batch1(small_catalog, small_batches,
                                      golden_lines):
     eng = Engine(small_catalog, EngineConfig(batch_execution=False))
@@ -33,6 +34,7 @@ def test_jax_batched_golden_batch1(jax_engine, small_batches, golden_lines):
     assert got == golden_lines[:len(small_batches[0])]
 
 
+@pytest.mark.slow
 def test_jax_sort_backend_golden_batch1(small_catalog, small_batches,
                                         golden_lines):
     eng = Engine(small_catalog, EngineConfig(join_backend="sort"))
