@@ -652,7 +652,8 @@ class BatchExecutor:
                 tuple(spec_edges), flag_nodes,
                 idx_of[comp["nodes"][0]], tuple(projs), trail_spec)
         n_flags = len(flag_nodes) + 1
-        return ("ftree", spec, len(cols), len(vals)), cols, vals, n_flags
+        return (("ftree", spec, len(cols), len(vals)), cols, vals,
+                n_flags, tuple(nodes))
 
     def _ftree_eligible(self, st: _QState, opening) -> bool:
         """The ftree branch can only open a query: no prior join state,
@@ -677,18 +678,24 @@ class BatchExecutor:
                               if p.slot in comp["set"]}
                 if self._ftree_caps(q, comp, proj_slots):
                     fplan, fcols, fvals, fsum, fnf = [], [], [], [], 0
+                    fnodes = []
                     for w in wiped:
-                        op, c, v, nf = self._plan_ftree(q, w, fsum, False)
+                        op, c, v, nf, nd = self._plan_ftree(q, w, fsum,
+                                                            False)
                         fplan.append(op)
                         fcols.extend(c)
                         fvals.extend(v)
                         fnf += nf
-                    op, c, v, nf = self._plan_ftree(q, comp, fsum, True)
+                        fnodes.append(nd)
+                    op, c, v, nf, nd = self._plan_ftree(q, comp, fsum,
+                                                        True)
                     fplan.append(op)
                     fcols.extend(c)
                     fvals.extend(v)
                     fnf += nf
-                    cached = (fplan, fcols, fvals, fsum, fnf)
+                    fnodes.append(nd)
+                    cached = (fplan, fcols, fvals, fsum, fnf,
+                              tuple(fnodes))
             self._ftree_plans[key] = cached
         return cached
 
@@ -715,7 +722,7 @@ class BatchExecutor:
         if self._ftree_eligible(st, opening):
             cached = self._ftree_plan_for(q)
             if cached is not None:
-                fplan, fcols, fvals, fsum, fnf = cached
+                fplan, fcols, fvals, fsum, fnf, _fnodes = cached
                 plan.extend(fplan)
                 cols.extend(fcols)
                 vals.extend(fvals)

@@ -109,10 +109,15 @@ class _Tree:
                  "by_height", "by_depth")
 
 
-def _parse_spec(spec, cols, vals, domain):
+def _parse_spec(spec, cols, vals, domain, shard=None):
     """Consume one spec's cols/vals (doc order above) into a _Tree:
     masks, key columns, pre tables, plus static height/depth schedules
-    for the wave's level-batched passes."""
+    for the wave's level-batched passes.
+
+    shard (distributed mode): (slicer, valid) — slicer(col, node) cuts
+    this chip's row range out of a replicated node column, valid(node)
+    is the boolean mask of real (non-pad, non-duplicate) rows in that
+    slice. Pre tables are GLOBAL bincounts and are never sliced."""
     filts, n_sels, edges, flag_nodes, root, projs, trail = spec
     k = len(filts)
     t = _Tree()
@@ -123,6 +128,21 @@ def _parse_spec(spec, cols, vals, domain):
     t.projs = projs
     ci = vi = 0
 
+    if shard is None:
+        def node_col_raw(i):
+            nonlocal ci
+            c = cols[ci]
+            ci += 1
+            return c
+    else:
+        slicer, _valid = shard
+
+        def node_col_raw(i):
+            nonlocal ci
+            c = slicer(cols[ci], i)
+            ci += 1
+            return c
+
     def next_col():
         nonlocal ci
         c = cols[ci]
@@ -130,12 +150,13 @@ def _parse_spec(spec, cols, vals, domain):
         return c
 
     # per-node boolean masks: filters + same-slot selections, all free
-    # VPU compares at raw relation length
+    # VPU compares at raw relation length; in distributed mode the
+    # shard-validity mask seeds every node (pad/duplicate rows dead)
     mask = []
     for i in range(k):
-        m = None
+        m = None if shard is None else shard[1](i)
         for opc in filts[i]:
-            c = next_col()
+            c = node_col_raw(i)
             v = vals[vi]
             vi += 1
             if opc == OP_EQ:
@@ -146,8 +167,8 @@ def _parse_spec(spec, cols, vals, domain):
                 tt = c > v
             m = tt if m is None else m & tt
         for _ in range(n_sels[i]):
-            a = next_col()
-            b = next_col()
+            a = node_col_raw(i)
+            b = node_col_raw(i)
             tt = a == b
             m = tt if m is None else m & tt
         mask.append(m)           # None == all rows live
@@ -164,20 +185,20 @@ def _parse_spec(spec, cols, vals, domain):
     t.tnode = t.tsel_a = t.tsel_b = t.tborn = None
     if trail is not None:
         t.tnode, t.tborn = trail
-        t.tsel_a = next_col()
-        t.tsel_b = next_col()
+        t.tsel_a = node_col_raw(t.tnode)
+        t.tsel_b = node_col_raw(t.tnode)
         tsel = t.tsel_a == t.tsel_b
         t.msg_mask[t.tnode] = (tsel if mask[t.tnode] is None
                                else mask[t.tnode] & tsel)
 
     t.pkey, t.ckey = [], []
-    for _ in edges:
-        t.pkey.append(next_col())
-        t.ckey.append(next_col())
+    for (p, c, _pre, _nd) in edges:
+        t.pkey.append(node_col_raw(p))
+        t.ckey.append(node_col_raw(c))
     t.pre = []
     for (_p, _c, pre_flag, _nd) in edges:
         t.pre.append(next_col() if pre_flag else None)
-    t.planes = [next_col() for _ in projs]
+    t.planes = [node_col_raw(i) for (i,) in projs]
 
     t.children = {i: [] for i in range(k)}
     for ei, (p, _c, _pre, _nd) in enumerate(edges):
@@ -225,20 +246,38 @@ def _concat(parts):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
-def run_ftree_wave(wspecs, cols, vals, domain):
+def _none_anywhere(x, axis):
+    """~any(x), globally across the mesh axis in distributed mode."""
+    a = jnp.any(x)
+    if axis is None:
+        return ~a
+    return jax.lax.psum(a.astype(jnp.int32), axis) == 0
+
+
+def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
     """Execute MANY factorized trees in one traced program, batching all
     same-level message scatters/gathers across trees into single
     segmented-domain kernels.
 
     wspecs: tuple of (spec, n_cols, n_vals); cols/vals hold every spec's
     operands back to back. Returns (flags, partials) flat, in spec order
-    (within a spec: flag_nodes flags, then the M/trailing flag)."""
+    (within a spec: flag_nodes flags, then the M/trailing flag).
+
+    Distributed mode (inside shard_map): `axis` names the mesh axis and
+    `shards` gives per-spec (slicer, valid) row-sharding hooks
+    (_parse_spec). Each chip scatters only ITS rows into the message
+    tables; one psum per level makes them global — the TPU-native analog
+    of the reference's per-chunk histogram merge
+    (/root/reference/structs.cpp:168-173) — and all gathers stay local.
+    Flags reduce globally; the returned partials are per-shard (the
+    caller psums the stack)."""
     D = domain
     trees = []
     ci = vi = 0
-    for spec, nc, nv in wspecs:
+    for qi, (spec, nc, nv) in enumerate(wspecs):
         trees.append(_parse_spec(spec, cols[ci:ci + nc],
-                                 vals[vi:vi + nv], D))
+                                 vals[vi:vi + nv], D,
+                                 None if shards is None else shards[qi]))
         ci += nc
         vi += nv
 
@@ -270,11 +309,14 @@ def run_ftree_wave(wspecs, cols, vals, domain):
                     idxs.append(key + off)
                     ws.append(jnp.ones(key.shape[0], jnp.int32)
                               if w is None else w)
-            parts.append(jnp.zeros(nsc * D, jnp.int32)
-                         .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+            B = (jnp.zeros(nsc * D, jnp.int32)
+                 .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+            if axis is not None:
+                B = jax.lax.psum(B, axis)     # local scatters -> global
+            parts.append(B)
         for j, (t, ei) in enumerate(pr):
             t.seg[ei] = nsc + j
-            parts.append(t.pre[ei])
+            parts.append(t.pre[ei])           # already-global bincounts
         mega = _concat(parts)
         gks, meta = [], []
         for (t, ei) in sc + pr:
@@ -322,6 +364,8 @@ def run_ftree_wave(wspecs, cols, vals, domain):
                           if w is None else w)
         A = (jnp.zeros(nsc * D, jnp.int32)
              .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+        if axis is not None:
+            A = jax.lax.psum(A, axis)
         gks, meta = [], []
         for (t, ei) in downs:
             gk = t.ckey[ei] + np.int32(t.seg[ei] * D)
@@ -337,16 +381,16 @@ def run_ftree_wave(wspecs, cols, vals, domain):
     flags, outs = [], []
     for t in trees:
         mask, msg_mask = t.mask, t.msg_mask
-        flags.extend(~jnp.any(mask[i]) for i in t.flag_nodes)
+        flags.extend(_none_anywhere(mask[i], axis) for i in t.flag_nodes)
         if t.root >= 0 and t.tnode is None:
             br, mr = t.beta[t.root], mask[t.root]
             if br is None:
                 flags.append(jnp.array(False) if mr is None
-                             else ~jnp.any(mr))
+                             else _none_anywhere(mr, axis))
             elif mr is None:
-                flags.append(~jnp.any(br > 0))
+                flags.append(_none_anywhere(br > 0, axis))
             else:
-                flags.append(~jnp.any(mr & (br > 0)))
+                flags.append(_none_anywhere(mr & (br > 0), axis))
         elif t.tnode is not None:
             # NULL gate from the PRE-selection rows. part[r] == row r of
             # the trailing node participates in the joined multiset
@@ -365,16 +409,21 @@ def run_ftree_wave(wspecs, cols, vals, domain):
                 # SET is empty (oracle.py:133-142) <=> no participating
                 # row's left class value equals any participating row's
                 # right value — a support-intersection test over one
-                # dense domain table
+                # dense domain table (made global by psum in dist mode:
+                # a value may participate on one chip and match on
+                # another)
                 supp = jnp.zeros(D, jnp.int32).at[
                     jnp.where(part, t.tsel_a, np.int32(D))].max(
                     part.astype(jnp.int32), mode="drop")
-                flags.append(~jnp.any((supp[t.tsel_b] > 0) & part))
+                if axis is not None:
+                    supp = jax.lax.psum(supp, axis)
+                flags.append(_none_anywhere((supp[t.tsel_b] > 0) & part,
+                                            axis))
             else:
                 # native same-slot predicate: never NULLs by itself
                 # (Query.cpp:168-170) — NULL iff some JOIN emptied,
                 # i.e. the pre-selection multiset is empty
-                flags.append(~jnp.any(part))
+                flags.append(_none_anywhere(part, axis))
         for (i,), plane in zip(t.projs, t.planes):
             m = t.beta[i]
             if t.alpha[i] is not None:

@@ -28,11 +28,11 @@ from ..models.device_catalog import DeviceCatalog
 from ..oracle import format_result
 from ..ops.join import JoinCapacityError
 from ..storage import Relation
-from ..utils.limbs import combine_limb_partials
+from ..utils.limbs import combine_limb_partials, combine_weighted_partials
 from ..workload import Query
 from .dist_ops import (d_case1_expand, d_case1_probe, d_case2_expand,
                        d_case2_probe, d_eq_mat, d_eq_rows, d_filter,
-                       d_project, d_seed)
+                       d_ftree, d_project, d_seed)
 from .mesh import make_mesh
 
 _U64_MASK = (1 << 64) - 1
@@ -52,6 +52,13 @@ class DistExecutor:
             relations, config,
             sharding=NamedSharding(self.mesh, P()))
         self.relations = relations
+        # factorized-tree planner (plans + cols shared via the dist
+        # catalog); tree-shaped queries skip the exchange machinery
+        # entirely — one psum per tree level (d_ftree)
+        from ..models.batch import BatchExecutor
+        self._planner = BatchExecutor(relations, config,
+                                      catalog=self.catalog)
+        self.counters = {"ftree_queries": 0, "exchange_queries": 0}
 
     # per-shard padded capacity for a slot of nrows
     def _shard_cap(self, nrows: int) -> int:
@@ -64,10 +71,38 @@ class DistExecutor:
                 "a shard's join exceeds 2**31-1 output pairs")
         return mn, mx
 
+    def _execute_ftree(self, q: Query, cached) -> Optional[List[int]]:
+        """Distributed factorized tree: row-sharded messages, one psum
+        per level, one readback for flags + psum'd sum folds."""
+        fplan, fcols, fvals, fsum, fnf, fnodes = cached
+        wspecs = tuple((op[1], op[2], op[3]) for op in fplan)
+        node_rows = tuple(
+            tuple(self.relations[q.slots[s]].num_tuples for s in nd)
+            for nd in fnodes)
+        packed = np.asarray(d_ftree(self.mesh, self.axis, wspecs,
+                                    node_rows, self.catalog.domain,
+                                    tuple(fcols), tuple(fvals)))
+        if packed[:fnf].any():
+            return None
+        parts = packed[fnf:].reshape(-1, 5, 2)
+        sums = [0] * len(q.projections)
+        for (pi, kind, shift), fold in zip(fsum, parts):
+            sums[pi] = (sums[pi] +
+                        (combine_weighted_partials(fold) << shift)
+                        ) & _U64_MASK
+        return sums
+
     def execute(self, q: Query) -> Optional[List[int]]:
         cat = self.catalog
         mesh, ax = self.mesh, self.axis
         nslots = len(q.slots)
+
+        if self.config.factorized and q.joins:
+            cached = self._planner._ftree_plan_for(q)
+            if cached is not None:
+                self.counters["ftree_queries"] += 1
+                return self._execute_ftree(q, cached)
+        self.counters["exchange_queries"] += 1
 
         live = []
         for s in range(nslots):

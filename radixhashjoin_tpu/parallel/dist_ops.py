@@ -48,6 +48,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops.chain import eq_filter_matrix, eq_filter_rows
+from ..ops.factorized import run_ftree_wave
 from ..ops.filter import filter_live
 from ..ops.join import RIGHT_SENTINEL, _total_or_overflow, expand_pairs
 from ..ops.radix_partition import partition_by_digit
@@ -324,3 +325,59 @@ def d_project(mesh, axis, row: int, plane, mat, icnts):
         return jax.lax.psum(fold_partials(
             _gather_partials_flat(plane, mat[row], icnts[0])), axis)
     return body(plane, mat, icnts)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "wspecs", "node_rows",
+                                   "domain"))
+def d_ftree(mesh, axis, wspecs, node_rows, domain, cols, vals):
+    """Whole factorized queries SPMD (ops/factorized.py:run_ftree_wave
+    in distributed mode): every node column is row-sharded by slicing
+    this chip's range out of the replicated copy, each tree level's
+    message table goes global with ONE psum — the TPU-native analog of
+    the reference's per-chunk histogram merge
+    (/root/reference/structs.cpp:168-173) — and all gathers stay local.
+
+    wspecs:    tuple of (spec, n_cols, n_vals), as in run_ftree_wave
+    node_rows: per wspec, tuple of each node's relation row count
+               (drives the per-chip slice size and validity mask)
+
+    Returns ONE replicated packed int32 vector:
+    [flags | psum'd (5, 2) weighted folds, flattened]."""
+    n = mesh.shape[axis]
+    cols = tuple(cols)
+    vals = tuple(vals)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=((P(),) * len(cols), (P(),) * len(vals)),
+             out_specs=P())
+    def body(cols, vals):
+        idx = jax.lax.axis_index(axis)
+        shards = []
+        for qnodes in node_rows:
+            caps = tuple(max(-(-r // n), 1) for r in qnodes)
+
+            def slicer(col, i, caps=caps, qnodes=qnodes):
+                cap, rows = caps[i], qnodes[i]
+                padded = jnp.pad(col, (0, n * cap - rows))
+                return jax.lax.dynamic_slice_in_dim(padded, idx * cap,
+                                                    cap)
+
+            def valid(i, caps=caps, qnodes=qnodes):
+                cap, rows = caps[i], qnodes[i]
+                gid = (idx * cap +
+                       jax.lax.broadcasted_iota(jnp.int32, (cap,), 0))
+                return gid < rows
+
+            shards.append((slicer, valid))
+        flags, outs = run_ftree_wave(wspecs, cols, vals, domain,
+                                     axis=axis, shards=tuple(shards))
+        segs = []
+        if flags:
+            segs.append(jnp.stack(flags).astype(jnp.int32))
+        if outs:
+            # per-shard folded channels -> global (fold reconstruction
+            # is linear; entries < 2**26, exact to 32 chips)
+            segs.append(jax.lax.psum(jnp.stack(outs), axis).reshape(-1))
+        return (jnp.concatenate(segs) if segs
+                else jnp.zeros(0, jnp.int32))
+    return body(cols, vals)

@@ -28,13 +28,19 @@ def _check(rels, queries, config=None):
         got = format_result(ex.execute(q), len(q.projections))
         exp = format_result(oracle.execute(q), len(q.projections))
         assert got == exp, (q, got, exp)
+    return ex
 
 
+# factorized=True exercises the distributed ftree (d_ftree: psum'd
+# message tables); factorized=False forces the exchange machinery
+# (all_to_all / broadcast joins) the ftree would otherwise shadow
+@pytest.mark.parametrize("fact", [True, False])
 @pytest.mark.parametrize("seed", range(2))
-def test_dist_fuzz_matches_oracle(seed):
+def test_dist_fuzz_matches_oracle(seed, fact):
     rng = np.random.default_rng(3000 + seed)
     rels = _random_catalog(rng)
-    _check(rels, [_random_query(rng, rels) for _ in range(6)])
+    _check(rels, [_random_query(rng, rels) for _ in range(6)],
+           EngineConfig(factorized=fact))
 
 
 def test_dist_zipf_skew_heavy_path():
@@ -50,21 +56,55 @@ def test_dist_zipf_skew_heavy_path():
                   rng.integers(0, 500, n)).astype(np.uint64)
     rels = [Relation([k1, rng.integers(0, 100, n).astype(np.uint64)]),
             Relation([k2, rng.integers(0, 100, n).astype(np.uint64)])]
-    cfg = EngineConfig(skew_heavy_fraction=0.25)
+    # factorized=False: the join must go through the skew-aware exchange
+    cfg = EngineConfig(skew_heavy_fraction=0.25, factorized=False)
     digit_share = (k2 % 8 == heavy_key % 8).mean()
     assert digit_share > cfg.skew_heavy_fraction   # heavy path engaged
     q = Query([0, 1], [JoinPred(0, 0, 1, 0)],
               [FilterPred(0, 1, "<", 90)],
               [Projection(0, 1), Projection(1, 1)])
-    _check(rels, [q], cfg)
+    ex = _check(rels, [q], cfg)
+    assert ex.counters["exchange_queries"] == 1
 
 
-def test_dist_wide_values():
+@pytest.mark.parametrize("fact", [True, False])
+def test_dist_wide_values(fact):
     rng = np.random.default_rng(11)
     rels = _wide_catalog(rng)
     queries = [_wide_filter_query(rng, rels, _random_query(rng, rels))
                for _ in range(4)]
-    _check(rels, queries)
+    _check(rels, queries, EngineConfig(factorized=fact))
+
+
+def test_dist_ftree_corners():
+    """Distributed factorized corners: relations smaller than the mesh,
+    row counts not divisible by 8 (pad/duplicate-row validity masks),
+    trailing join-born selection (psum'd support-intersection NULL
+    gate), and a case-1-wiped component (boolean flag tree)."""
+    A = Relation([np.array([1, 2, 5], np.uint64),
+                  np.array([2, 9, 9], np.uint64)])       # 3 rows < 8 chips
+    B = Relation([np.arange(13, dtype=np.uint64) % 4,
+                  np.arange(13, dtype=np.uint64)])       # 13 % 8 != 0
+    C = Relation([np.array([2, 2, 3], np.uint64)])
+    queries = [
+        # tree join, uneven shards
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
+              [Projection(0, 1), Projection(1, 1)]),
+        # trailing join-born sel, pair set nonempty ({2}) but zero rows
+        # survive -> zeros, NOT NULL
+        Query([0, 1], [JoinPred(0, 0, 1, 0), JoinPred(1, 0, 0, 1)],
+              [], [Projection(0, 0), Projection(1, 1)]),
+        # trailing join-born sel, pair set EMPTY ({9} vs {2}) -> NULL
+        Query([2, 0], [JoinPred(0, 0, 1, 0), JoinPred(1, 1, 0, 0)],
+              [], [Projection(0, 0)]),
+        # case-1 wipe: first comp survives only as a NULL gate
+        Query([0, 1, 2, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(2, 0, 3, 0)],
+              [FilterPred(0, 1, ">", 1)],
+              [Projection(2, 0), Projection(0, 0)]),
+    ]
+    ex = _check([A, B, C], queries)
+    assert ex.counters["ftree_queries"] == len(queries)
 
 
 def test_dist_engine_facade(small_catalog, small_batches, golden_lines):
