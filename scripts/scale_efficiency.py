@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
-def worker(n_devices: int, log_rows: int) -> None:
+def worker(n_devices: int, log_rows: int, exchange: bool = False) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "").split(
@@ -50,7 +50,8 @@ def worker(n_devices: int, log_rows: int) -> None:
     rels = [Relation([rng.integers(0, n // 4, n).astype(np.uint64),
                       rng.integers(0, 1000, n).astype(np.uint64)])
             for _ in range(2)]
-    ex = DistExecutor(rels, EngineConfig(), n_devices=n_devices)
+    cfg = EngineConfig(factorized=not exchange)
+    ex = DistExecutor(rels, cfg, n_devices=n_devices)
     q = Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
               [Projection(0, 1), Projection(1, 1)])
     ex.execute(q)                       # compile + warm
@@ -60,7 +61,9 @@ def worker(n_devices: int, log_rows: int) -> None:
         ex.execute(q)
     dt = (time.time() - t0) / iters
     print(json.dumps({
-        "metric": "dist_engine_join_tuples_per_s", "devices": n_devices,
+        "metric": "dist_engine_join_tuples_per_s",
+        "path": "exchange" if exchange else "ftree",
+        "devices": n_devices,
         "rows_per_side": n, "value": round(2 * n / dt), "unit": "tuples/s",
         "seconds": round(dt, 4)}))
 
@@ -70,16 +73,19 @@ def main() -> None:
     p.add_argument("--rows", type=int, default=18, help="log2 rows/side")
     p.add_argument("--ns", default="1,2,4,8")
     p.add_argument("--worker", type=int, default=None)
+    p.add_argument("--exchange", action="store_true",
+                   help="force the exchange path (factorized off)")
     args = p.parse_args()
     if args.worker is not None:
-        worker(args.worker, args.rows)
+        worker(args.worker, args.rows, args.exchange)
         return
 
     results = {}
     for n in (int(x) for x in args.ns.split(",")):
         out = subprocess.run(
             [sys.executable, __file__, "--worker", str(n),
-             "--rows", str(args.rows)],
+             "--rows", str(args.rows)]
+            + (["--exchange"] if args.exchange else []),
             capture_output=True, text=True, timeout=1200)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not line:

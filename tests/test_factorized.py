@@ -84,6 +84,23 @@ def test_factorized_off_agrees(seed):
         factorized=False)).counters["ftree_queries"] == 0
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_wave_off_agrees(seed):
+    """ftree_wave=False (per-query message kernels) must match the
+    wave-batched path bit for bit at every group size."""
+    rng = np.random.default_rng(700 + seed)
+    rels = _rels(rng)
+    queries = [_tree_query(rng, rels) for _ in range(8)]
+    wave = BatchExecutor(rels, EngineConfig(stage_group=8)
+                         ).run_batch(queries)
+    solo = BatchExecutor(rels, EngineConfig(stage_group=8,
+                                            ftree_wave=False)
+                         ).run_batch(queries)
+    ungrouped = BatchExecutor(rels, EngineConfig(stage_group=1)
+                              ).run_batch(queries)
+    assert wave == solo == ungrouped
+
+
 def test_wiped_component_gates_null():
     """First join has zero pairs; a later case-1 join wipes it. The
     reference still prints NULL (Query.cpp:188-191), so the wiped
