@@ -95,7 +95,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.limbs import WCHUNK, weighted_partials
+from ..utils.limbs import WCHUNK, weighted_partials_segments
 from .filter import OP_EQ, OP_LT
 
 
@@ -435,15 +435,28 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
             else:
                 w = (m if msg_mask[i] is None
                      else jnp.where(msg_mask[i], m, 0))
-            # weighted_partials needs a WCHUNK-multiple length; masking
-            # rides in the zeroed weights (selections make liveness
-            # non-prefix)
-            L = max(-(-n // WCHUNK) * WCHUNK, WCHUNK)
-            if L != n:
-                plane = jnp.pad(plane, (0, L - n))
-                w = jnp.pad(w, (0, L - n))
-            outs.append(weighted_partials(plane, w, np.int32(L)))
-    return tuple(flags), tuple(outs)
+            outs.append((plane, w))
+
+    # every projection folds through ONE segment-batched reduction:
+    # segments concatenate with zero-gap padding to WCHUNK multiples
+    # (zero weight == dead row, so gaps contribute nothing)
+    parts = ()
+    if outs:
+        gap = jnp.zeros(WCHUNK, jnp.int32)
+        vs, ws, seg_ids = [], [], []
+        for si, (plane, w) in enumerate(outs):
+            n = plane.shape[0]
+            pad = -n % WCHUNK
+            vs.append(plane)
+            ws.append(w)
+            if pad:
+                vs.append(gap[:pad])
+                ws.append(gap[:pad])
+            seg_ids.extend([si] * ((n + pad) // WCHUNK))
+        parts = (weighted_partials_segments(
+            _concat(vs), _concat(ws),
+            np.asarray(seg_ids, np.int32), len(outs)),)
+    return tuple(flags), parts
 
 
 def run_ftree(spec, cols, vals, domain):
@@ -453,3 +466,4 @@ def run_ftree(spec, cols, vals, domain):
     inline under the fused stage program (ops/stage.py)."""
     return run_ftree_wave(((spec, len(cols), len(vals)),),
                           tuple(cols), tuple(vals), domain)
+

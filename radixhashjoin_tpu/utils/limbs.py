@@ -115,6 +115,47 @@ def weighted_partials(vals: jax.Array, counts: jax.Array,
     ]))
 
 
+def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
+                               seg_ids: np.ndarray,
+                               n_segs: int) -> jax.Array:
+    """Segment-batched weighted_partials: MANY exact u64 weighted sums
+    in one fused channel computation + one chunk reduce + two scatters.
+
+    vals/counts: 1-D int32, the segments' (value, weight) vectors back
+    to back, every segment zero-padded to a WCHUNK multiple (dead rows
+    carry zero weight). seg_ids: per-CHUNK segment index (a small host
+    constant). Returns (n_segs, 5, 2) folded channels — each row
+    combines exactly like one weighted_partials output.
+
+    Replaces one ~17-HLO-op reduction PER projection with ~30 ops total
+    for a whole wave of queries — on a remote-attached chip each HLO op
+    costs ~25 us of scheduling regardless of data size, so op count is
+    the wall (EVIDENCE_r02.md "Transport floor")."""
+    n = vals.shape[0]
+    assert n % WCHUNK == 0 and n // WCHUNK == len(seg_ids), (n, len(seg_ids))
+    a = vals.astype(jnp.uint32)
+    b = counts.astype(jnp.uint32)
+    a0, a1 = a & 0xFFFF, a >> 16
+    b0, b1 = b & 0xFFFF, b >> 16
+    p0 = a0 * b0
+    p1 = a0 * b1 + a1 * b0
+    p2 = (a1 * b1).astype(jnp.int32)
+
+    def chunks(x):
+        return x.reshape(n // WCHUNK, WCHUNK).sum(axis=1, dtype=jnp.int32)
+
+    ch = jnp.stack([chunks((p0 & 0xFFFF).astype(jnp.int32)),
+                    chunks((p0 >> 16).astype(jnp.int32)),
+                    chunks((p1 & 0xFFFF).astype(jnp.int32)),
+                    chunks((p1 >> 16).astype(jnp.int32)),
+                    chunks(p2)])                      # (5, C)
+    sid = jnp.asarray(seg_ids)
+    lo = jnp.zeros((5, n_segs), jnp.int32).at[:, sid].add(ch & _FOLD_MASK)
+    hi = jnp.zeros((5, n_segs), jnp.int32).at[:, sid].add(
+        ch >> FOLD_SHIFT)
+    return jnp.stack([lo, hi], axis=-1).transpose(1, 0, 2)  # (n_segs,5,2)
+
+
 _W_WEIGHTS = (1, 1 << 16, 1 << 16, 1 << 32, 1 << 32)
 
 
