@@ -95,6 +95,40 @@ def main() -> None:
         "value": round((n + n_keys) / dt), "unit": "tuples/s",
         "seconds": round(dt, 4)}))
 
+    # --- config: star-schema 3-way join through the ENGINE's factorized
+    # path (fact JOIN dim1 JOIN dim2, filtered dim, 3 exact u64 SUMs):
+    # zero materialization — the 16M-row fact never expands, messages
+    # are two dense tables + gathers (ops/factorized.py) ---
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.storage import Relation
+    from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
+                                            Projection, Query)
+    nf = min(n, 1 << 24)               # host->device upload bound
+    rng = np.random.default_rng(0)
+    fact = Relation([rng.integers(0, n_keys, nf).astype(np.uint64),
+                     rng.integers(0, n_keys, nf).astype(np.uint64),
+                     rng.integers(0, 1000, nf).astype(np.uint64)])
+    dims = [Relation([np.arange(n_keys, dtype=np.uint64),
+                      rng.integers(0, 1000, n_keys).astype(np.uint64)])
+            for _ in range(2)]
+    eng = Engine([fact] + dims, EngineConfig())
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
+              [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 2), Projection(1, 1), Projection(2, 1)])
+    eng.run_workload([[q]])            # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        out = eng.run_workload([[q]])
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "star_join_engine_tuples_per_s",
+        "fact_rows": nf, "dim_rows": n_keys, "n_joins": 2,
+        "factorized": eng.batch_executor.counters["ftree_queries"] > 0,
+        "value": round((nf + 2 * n_keys) / dt), "unit": "tuples/s",
+        "seconds": round(dt, 4), "sums": out[0][:60]}))
+
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:
         return

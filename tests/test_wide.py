@@ -124,3 +124,43 @@ def test_encode_filter_translation():
 def test_narrow_catalog_skips_dictionary(small_catalog):
     cat = DeviceCatalog(small_catalog, EngineConfig())
     assert cat.dict_vals is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_wide_parallel_edges_matches_oracle(seed):
+    """Case-3 rewriting over dictionary-encoded u64 values: duplicate
+    edges, shared-column parallels (incl. trailing — the support-
+    intersection NULL gate compares CODES across two columns, valid only
+    because the dictionary is global), and composite fallbacks."""
+    from test_case3_rewrite import test_fuzz_parallel_edges  # noqa: F401
+    rng = np.random.default_rng(5000 + seed)
+    rels = _wide_catalog(rng, n_rel=3, pool_size=12)  # dense pool: matches
+    oracle = OracleExecutor(rels)
+    engine = Engine(rels, EngineConfig())
+    queries = []
+    for _ in range(10):
+        nslots = int(rng.integers(2, 4))
+        slots = [int(rng.integers(0, len(rels))) for _ in range(nslots)]
+        ncols = [rels[s].num_columns for s in slots]
+        joins = []
+        for _ in range(int(rng.integers(2, 5))):
+            if joins and rng.random() < 0.5:
+                e = joins[int(rng.integers(0, len(joins)))]
+                s1, s2 = e.slot2, e.slot1
+                c1 = (e.col2 if rng.random() < 0.6
+                      else int(rng.integers(0, ncols[s1])))
+                c2 = (e.col1 if rng.random() < 0.6
+                      else int(rng.integers(0, ncols[s2])))
+                joins.append(JoinPred(s1, c1, s2, c2))
+            else:
+                s1, s2 = rng.integers(0, nslots, 2)
+                joins.append(JoinPred(
+                    int(s1), int(rng.integers(0, ncols[s1])),
+                    int(s2), int(rng.integers(0, ncols[s2]))))
+        projections = [Projection(s, int(rng.integers(0, ncols[s])))
+                       for s in range(nslots)]
+        queries.append(Query(slots, joins, [], projections))
+    got = engine.run_workload([queries])
+    want = [format_result(oracle.execute(q), len(q.projections))
+            for q in queries]
+    assert got == want
