@@ -28,6 +28,31 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
+_SYNC_FLOOR = 0.0
+
+
+def _enter_degraded_mode():
+    """Force the axon transport into its post-readback state and measure
+    the per-sync floor. BEFORE a process's first device->host transfer,
+    `block_until_ready` does NOT actually wait on this transport —
+    fresh-mode timings are fiction (measured 2026-08-18: a 16.7M gather
+    "took" 0.07 ms fresh vs 147 ms degraded). Every number here is
+    measured in degraded mode with the sync floor subtracted."""
+    global _SYNC_FLOOR
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    np.asarray(jnp.zeros(1))            # first D2H: degrade the transport
+    g = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(1, jnp.int32)
+    floors = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(g(x))
+        floors.append(time.time() - t0)
+    _SYNC_FLOOR = min(floors)
+
+
 def _time(f, *args, iters=10):
     import jax
     r = f(*args)
@@ -36,7 +61,7 @@ def _time(f, *args, iters=10):
     for _ in range(iters):
         r = f(*args)
     jax.block_until_ready(r)
-    return (time.time() - t0) / iters
+    return max((time.time() - t0 - _SYNC_FLOOR) / iters, 1e-9)
 
 
 def main() -> None:
@@ -51,6 +76,7 @@ def main() -> None:
     from radixhashjoin_tpu.ops.pallas_radix import (radix_histogram,
                                                     radix_histogram_xla)
 
+    _enter_degraded_mode()
     n = 1 << args.log_rows
     domain = 1 << 18
     key = jax.random.PRNGKey(0)
