@@ -4,11 +4,11 @@ kernel strategy (one JSON line per measurement).
 Measures, on the current JAX backend:
   * XLA fused gather bandwidth (column lookup, the engine's hottest
     primitive) — decides whether a Pallas VMEM-table gather could pay.
-    Measured 2026-08-17 on a v5e chip: ~1 TB/s effective, i.e. XLA's
-    gather already runs at HBM speed-of-light on TPU; a hand-written
-    VMEM gather kernel has no headroom (and Mosaic's vector-gather
-    support is limited to 2-D). The round-1 roofline estimate of
-    0.85 GB/s came from profiling whole fused stages, not the gather.
+    Measured 2026-08-18 on a v5e chip IN DEGRADED TRANSPORT MODE (see
+    _enter_degraded_mode): ~0.5 GB/s / ~116 M elem/s. The round-1
+    roofline estimate of 0.85 GB/s was right; an earlier "~1 TB/s"
+    reading was fresh-mode fiction (block_until_ready doesn't wait
+    before the process's first readback).
   * Pallas radix histogram (ops/pallas_radix.py) vs the XLA bincount —
     the reference's multiHistogram analog (structs.cpp:111-121).
   * dense-probe and sort-probe throughput (the two join backends).
