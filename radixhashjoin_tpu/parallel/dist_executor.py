@@ -28,7 +28,8 @@ from ..models.device_catalog import DeviceCatalog
 from ..oracle import format_result
 from ..ops.join import JoinCapacityError
 from ..storage import Relation
-from ..utils.limbs import combine_limb_partials, combine_weighted_partials
+from ..utils.limbs import (combine_limb_partials, combine_weighted_partials,
+                           merge_fold16)
 from ..workload import Query
 from .dist_ops import (d_case1_expand, d_case1_probe, d_case2_expand,
                        d_case2_probe, d_eq_mat, d_eq_rows, d_filter,
@@ -84,7 +85,7 @@ class DistExecutor:
                                     tuple(fcols), tuple(fvals)))
         if packed[:fnf].any():
             return None
-        parts = packed[fnf:].reshape(-1, 5, 2)
+        parts = merge_fold16(packed[fnf:].reshape(2, -1, 5, 2))
         sums = [0] * len(q.projections)
         for (pi, kind, shift), fold in zip(fsum, parts):
             sums[pi] = (sums[pi] +
@@ -187,7 +188,8 @@ class DistExecutor:
             total = 0
             for plane, shift in cat.proj_planes(q.slots[p.slot], p.col):
                 partials = d_project(mesh, ax, row, plane, mat, icnts)
-                total += combine_limb_partials(np.asarray(partials)) << shift
+                total += combine_limb_partials(
+                    merge_fold16(np.asarray(partials))) << shift
             sums.append(total & _U64_MASK)
 
         if flags and bool(np.asarray(jnp.stack(flags)).any()):

@@ -52,7 +52,7 @@ from ..ops.factorized import run_ftree_wave
 from ..ops.filter import filter_live
 from ..ops.join import RIGHT_SENTINEL, _total_or_overflow, expand_pairs
 from ..ops.radix_partition import partition_by_digit
-from ..utils.limbs import CHUNK, fold_partials
+from ..utils.limbs import CHUNK, MAX_PSUM_CHIPS, fold_partials, split_fold16
 from .dist_join import LEFT_SENTINEL
 
 
@@ -315,15 +315,19 @@ def d_case2_expand(mesh, axis, out_cap: int, mat, frow_all, order, lo, off,
 @partial(jax.jit, static_argnames=("mesh", "axis", "row"))
 def d_project(mesh, axis, row: int, plane, mat, icnts):
     """Exact limb partial sums of plane[mat[row]] over every shard's live
-    prefix, folded per shard then psum'd across the mesh (folded entries
-    < 2**25; the psum adds log2(n_chips) bits — exact to 64 chips). The
-    fold reconstruction is linear, so combine_limb_partials reads the
-    psum'd (2, 2) directly."""
+    prefix, folded per shard, split into 16-bit halves, then psum'd
+    across the mesh — exact to MAX_PSUM_CHIPS (2**15) devices
+    (utils/limbs.py). The host merges halves (merge_fold16) before
+    combine_limb_partials."""
+    if mesh.shape[axis] > MAX_PSUM_CHIPS:
+        raise ValueError(f"mesh axis {axis} has {mesh.shape[axis]} devices;"
+                         f" exact psum folds cap at {MAX_PSUM_CHIPS}")
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(None, axis), P(axis)), out_specs=P())
     def body(plane, mat, icnts):
-        return jax.lax.psum(fold_partials(
-            _gather_partials_flat(plane, mat[row], icnts[0])), axis)
+        return jax.lax.psum(split_fold16(fold_partials(
+            _gather_partials_flat(plane, mat[row], icnts[0]))), axis)
     return body(plane, mat, icnts)
 
 
@@ -342,8 +346,13 @@ def d_ftree(mesh, axis, wspecs, node_rows, domain, cols, vals):
                (drives the per-chip slice size and validity mask)
 
     Returns ONE replicated packed int32 vector:
-    [flags | psum'd (5, 2) weighted folds, flattened]."""
+    [flags | psum'd split-half (2, n_outs, 5, 2) weighted folds,
+    flattened] (halves make the psum exact to MAX_PSUM_CHIPS devices;
+    the host merges them with merge_fold16)."""
     n = mesh.shape[axis]
+    if n > MAX_PSUM_CHIPS:
+        raise ValueError(f"mesh axis {axis} has {n} devices; exact psum "
+                         f"folds cap at {MAX_PSUM_CHIPS}")
     cols = tuple(cols)
     vals = tuple(vals)
 
@@ -375,9 +384,10 @@ def d_ftree(mesh, axis, wspecs, node_rows, domain, cols, vals):
         if flags:
             segs.append(jnp.stack(flags).astype(jnp.int32))
         if outs:
-            # per-shard folded channels -> global (fold reconstruction
-            # is linear; entries < 2**26, exact to 32 chips)
-            segs.append(jax.lax.psum(jnp.stack(outs), axis).reshape(-1))
+            # per-shard folded channels -> global (fold reconstruction is
+            # linear; 16-bit halves keep the psum exact to 2**15 chips)
+            segs.append(jax.lax.psum(split_fold16(jnp.stack(outs)),
+                                     axis).reshape(-1))
         return (jnp.concatenate(segs) if segs
                 else jnp.zeros(0, jnp.int32))
     return body(cols, vals)

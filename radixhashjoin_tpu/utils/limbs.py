@@ -49,6 +49,32 @@ def _rowsum(row: np.ndarray) -> int:
     return int(row[..., 0]) + (int(row[..., 1]) << FOLD_SHIFT)
 
 
+# ---- cross-chip widening of folded partials ----
+#
+# A folded entry is < 2**26, so a raw int32 psum over the mesh axis is
+# exact only to 2**5 = 32 chips. Splitting each entry into 16-bit halves
+# before the psum makes every summand < 2**16, so the halved psum stays
+# exact to 2**15 chips — beyond any current pod (v5p tops out at 8,960).
+# The fold reconstruction is linear, so the host merges halves first
+# (entry = lo + (hi << 16), exact in int64 to 2**15 chips) and then
+# combines limb partials as usual.
+
+MAX_PSUM_CHIPS = 1 << 15
+
+
+def split_fold16(x: jax.Array) -> jax.Array:
+    """Device half: nonneg int32 folded partials -> stacked 16-bit halves
+    (leading axis 2: [x & 0xFFFF, x >> 16]), safe to psum over up to
+    MAX_PSUM_CHIPS mesh devices."""
+    return jnp.stack([x & 0xFFFF, x >> 16])
+
+
+def merge_fold16(p: np.ndarray) -> np.ndarray:
+    """Host half: psum'd split_fold16 output -> exact int64 entries."""
+    p = np.asarray(p).astype(np.int64)
+    return p[0] + (p[1] << 16)
+
+
 @jax.jit
 def sum_u32_exact(vals: jax.Array, count: jax.Array) -> jax.Array:
     """Device half: (padded int32 values in [0, 2**31), live count) ->

@@ -24,8 +24,28 @@ from typing import Dict, Optional
 
 import jax
 
-# TPU v5e (lite): ~819 GB/s HBM bandwidth per chip.
-HBM_BYTES_PER_S = 819e9
+# Published per-chip HBM bandwidth by device kind; the roofline column
+# detects the actual backend instead of silently assuming one (CPU and
+# unknown kinds report no roofline rather than a wrong one).
+_HBM_BY_KIND = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v5": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def hbm_bytes_per_s() -> Optional[float]:
+    """Detected HBM bandwidth of the current default device, or None when
+    unknown (CPU/GPU/unlisted TPU kind)."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    return _HBM_BY_KIND.get(kind)
 
 
 @dataclasses.dataclass
@@ -39,9 +59,11 @@ class OpStats:
         return self.bytes / self.seconds / 1e9 if self.seconds > 0 else 0.0
 
     @property
-    def roofline_frac(self) -> float:
-        return self.bytes / self.seconds / HBM_BYTES_PER_S \
-            if self.seconds > 0 else 0.0
+    def roofline_frac(self) -> Optional[float]:
+        bw = hbm_bytes_per_s()
+        if bw is None or self.seconds <= 0:
+            return None
+        return self.bytes / self.seconds / bw
 
 
 class OpProfiler:
@@ -79,8 +101,10 @@ class OpProfiler:
         lines = [f"{'operator':<24}{'calls':>7}{'total s':>10}"
                  f"{'GB/s':>9}{'% roof':>8}"]
         for name, s in sorted(self.ops.items(), key=lambda kv: -kv[1].seconds):
+            rf = s.roofline_frac
+            roof = f"{100 * rf:>7.1f}%" if rf is not None else f"{'-':>8}"
             lines.append(f"{name:<24}{s.calls:>7}{s.seconds:>10.4f}"
-                         f"{s.gb_per_s:>9.1f}{100*s.roofline_frac:>7.1f}%")
+                         f"{s.gb_per_s:>9.1f}{roof}")
         total = sum(s.seconds for s in self.ops.values())
         lines.append(f"{'TOTAL':<24}{'':>7}{total:>10.4f}")
         return "\n".join(lines)

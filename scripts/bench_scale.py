@@ -78,8 +78,9 @@ def main() -> None:
         "seconds": round(dt, 4)}))
 
     # --- config: FK-shaped single-chip join (unique build side: the
-    # fact->dimension shape of most production joins; the dense probe's
-    # scatter-claim ordering resolves it in one round, no sort) ---
+    # fact->dimension shape of most production joins; argsort stays the
+    # grouping primitive — the sort-free scatter-claim variant measured
+    # 20x slower and was reverted, EVIDENCE_r02.md) ---
     rv_fk = jax.random.permutation(k3, n_keys).astype(jnp.int32)  # dimension
     rcnt = jnp.int32(n_keys)
     r = dense_probe(lv, cnt, rv_fk, rcnt, domain)   # compile + warm

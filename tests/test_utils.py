@@ -42,3 +42,35 @@ def test_profiler_counts_input_and_output_bytes():
     # bytes = input (4000) + result leaves (2000 + 4), exact
     assert s.bytes == 4000 + 2000 + 4
     assert "op" in p.report()
+
+
+def test_split_merge_fold16_roundtrip_and_psum_width():
+    """split_fold16/merge_fold16: exact reconstruction, and the halved
+    psum stays exact for MAX_PSUM_CHIPS worth of worst-case folded
+    entries (each < 2**26) where a raw int32 psum would overflow."""
+    import numpy as np
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.utils.limbs import (MAX_PSUM_CHIPS, merge_fold16,
+                                               split_fold16)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 26, size=(4, 5, 2)).astype(np.int32)
+    halves = np.asarray(split_fold16(jnp.asarray(x)))
+    assert (merge_fold16(halves) == x).all()
+    # worst case: every chip contributes the max folded entry; summing
+    # halves in int64 (what merge_fold16 does after an int32 psum of
+    # values < 2**16 and < 2**10) must reconstruct the exact total
+    worst = (1 << 26) - 1
+    n = MAX_PSUM_CHIPS
+    lo_sum = np.int64(n) * (worst & 0xFFFF)     # < 2**31: psum-exact
+    hi_sum = np.int64(n) * (worst >> 16)        # < 2**25: psum-exact
+    assert lo_sum < 2**31 and hi_sum < 2**31
+    assert int(lo_sum + (hi_sum << 16)) == n * worst
+
+
+def test_profiler_roofline_none_on_cpu():
+    """On the CPU test backend the roofline column must be absent (no
+    hardcoded v5e constant), not silently wrong."""
+    from radixhashjoin_tpu.utils.profiling import OpStats, hbm_bytes_per_s
+    assert hbm_bytes_per_s() is None    # tests force the CPU platform
+    s = OpStats(calls=1, seconds=1.0, bytes=10**9)
+    assert s.roofline_frac is None
