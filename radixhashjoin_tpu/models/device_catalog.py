@@ -47,13 +47,30 @@ _INT32_MAX = 2**31 - 1
 
 class DeviceCatalog:
     def __init__(self, relations: Sequence[Relation],
-                 config: EngineConfig = DEFAULT, sharding=None):
-        """`sharding`: optional jax.sharding.Sharding for column uploads —
-        the distributed executor passes NamedSharding(mesh, P()) so every
-        chip holds a replica (parallel/dist_ops.py layout)."""
+                 config: EngineConfig = DEFAULT, sharding=None,
+                 row_shard=None):
+        """`sharding`: optional jax.sharding.Sharding for small replicated
+        uploads (scalars, bincount tables, placeholders).
+
+        `row_shard`: optional (mesh, axis) — the distributed executor's
+        column layout: every relation column and projection plane is
+        padded to n_chips * shard_cap(rel) rows and uploaded row-sharded
+        over the axis, so each chip holds ~1/N of the catalog bytes
+        (supersedes /root/reference/structs.cpp:25-39's single mmap copy
+        at pod scale; replaces the round-2 per-chip replication). Chip i
+        owns global rowids [i*cap, (i+1)*cap); rows past the relation's
+        length are padding, masked by live counts / validity masks
+        everywhere. Domain-sized tables (bincounts) stay replicated —
+        they are O(distinct values), not O(rows)."""
         self.relations = relations
         self.config = config
         self._sharding = sharding
+        self.row_shard = row_shard
+        if row_shard is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            mesh, axis = row_shard
+            self._n_shards = mesh.shape[axis]
+            self._row_sharding = NamedSharding(mesh, PartitionSpec(axis))
         self._cols: Dict[tuple, jax.Array] = {}
         self._planes: Dict[tuple, list] = {}
         self._iota: Dict[int, jax.Array] = {}
@@ -76,6 +93,24 @@ class DeviceCatalog:
                 f"space caps at {NARROW_MAX}")
         self.dict_vals = dv
 
+    def shard_cap(self, rel_id: int) -> int:
+        """Per-chip padded row capacity of a relation under row sharding:
+        bucket(ceil(rows / n_chips)). Live sets (d_seed) use the same cap
+        so rowid ownership aligns with column shards."""
+        assert self.row_shard is not None
+        rows = self.relations[rel_id].num_tuples
+        return self.bucket(-(-rows // self._n_shards))
+
+    def _put_rows(self, rel_id: int, host: np.ndarray) -> jax.Array:
+        """Upload a per-row array: row-sharded (padded to n * shard_cap)
+        when row_shard is set, else whole-array with self._sharding."""
+        if self.row_shard is None:
+            return jax.device_put(host, self._sharding)
+        total = self._n_shards * self.shard_cap(rel_id)
+        if len(host) < total:
+            host = np.pad(host, (0, total - len(host)))
+        return jax.device_put(host, self._row_sharding)
+
     def col(self, rel_id: int, col: int) -> jax.Array:
         """Join/filter column on device: int32 values (identity) or codes."""
         key = (rel_id, col)
@@ -86,7 +121,7 @@ class DeviceCatalog:
                 host = np.searchsorted(
                     self.dict_vals,
                     self.relations[rel_id].values[col]).astype(np.int32)
-            self._cols[key] = jax.device_put(host, self._sharding)
+            self._cols[key] = self._put_rows(rel_id, host)
         return self._cols[key]
 
     def encode_filter(self, op: str, value: int) -> Tuple[int, np.int32]:
@@ -127,8 +162,8 @@ class DeviceCatalog:
                 # identity encoding: the join/filter column IS the values
                 self._planes[key] = [(self.col(rel_id, col), 0)]
             elif rel.stats[col].max <= _INT32_MAX:
-                self._planes[key] = [(jax.device_put(
-                    rel.values[col].astype(np.int32), self._sharding), 0)]
+                self._planes[key] = [(self._put_rows(
+                    rel_id, rel.values[col].astype(np.int32)), 0)]
             else:
                 host = rel.values[col]
                 hi = int(rel.stats[col].max).bit_length()
@@ -136,7 +171,7 @@ class DeviceCatalog:
                 for shift in range(0, hi, 16):
                     p = ((host >> np.uint64(shift))
                          & np.uint64(0xFFFF)).astype(np.int32)
-                    planes.append((jax.device_put(p, self._sharding), shift))
+                    planes.append((self._put_rows(rel_id, p), shift))
                 self._planes[key] = planes
         return self._planes[key]
 

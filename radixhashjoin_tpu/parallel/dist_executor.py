@@ -49,9 +49,12 @@ class DistExecutor:
         self.axis = self.mesh.axis_names[0]
         self.n = self.mesh.shape[self.axis]
         self.config = config
+        # columns/planes row-sharded over the mesh (each chip holds ~1/N
+        # of the catalog); scalars + domain-sized tables replicated
         self.catalog = DeviceCatalog(
             relations, config,
-            sharding=NamedSharding(self.mesh, P()))
+            sharding=NamedSharding(self.mesh, P()),
+            row_shard=(self.mesh, self.axis))
         self.relations = relations
         # factorized-tree planner (plans + cols shared via the dist
         # catalog); tree-shaped queries skip the exchange machinery
@@ -61,9 +64,11 @@ class DistExecutor:
                                       catalog=self.catalog)
         self.counters = {"ftree_queries": 0, "exchange_queries": 0}
 
-    # per-shard padded capacity for a slot of nrows
-    def _shard_cap(self, nrows: int) -> int:
-        return self.catalog.bucket(-(-nrows // self.n))
+    # per-shard padded capacity for a slot — MUST equal the relation's
+    # column shard capacity so live-set rowid ownership aligns with the
+    # column shards (chip-local gathers)
+    def _shard_cap(self, rel_id: int) -> int:
+        return self.catalog.shard_cap(rel_id)
 
     def _probe_stats(self, stats) -> tuple:
         mn, mx = (int(x) for x in np.asarray(stats))
@@ -80,8 +85,14 @@ class DistExecutor:
         node_rows = tuple(
             tuple(self.relations[q.slots[s]].num_tuples for s in nd)
             for nd in fnodes)
+        node_caps = tuple(
+            tuple(self.catalog.shard_cap(q.slots[s]) for s in nd)
+            for nd in fnodes)
+        col_sharded = tuple(not c.sharding.is_fully_replicated
+                            for c in fcols)
         packed = np.asarray(d_ftree(self.mesh, self.axis, wspecs,
-                                    node_rows, self.catalog.domain,
+                                    node_rows, node_caps, col_sharded,
+                                    self.catalog.domain,
                                     tuple(fcols), tuple(fvals)))
         if packed[:fnf].any():
             return None
@@ -109,7 +120,7 @@ class DistExecutor:
         for s in range(nslots):
             nrows = self.relations[q.slots[s]].num_tuples
             live.append(list(d_seed(mesh, ax, nrows,
-                                    self._shard_cap(nrows))))
+                                    self._shard_cap(q.slots[s]))))
         flags = []
         for f in q.filters:
             col = cat.col(q.slots[f.slot], f.col)

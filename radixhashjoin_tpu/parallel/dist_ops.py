@@ -3,12 +3,23 @@
 Each op is one `shard_map` program over a 1-D device mesh, jitted with the
 mesh static. Data layout (the engine's multi-chip execution shape):
 
-  * relation columns — replicated per chip (contest-scale relations fit
-    HBM many times over; sharded columns are the documented extension)
+  * relation columns and projection planes — ROW-SHARDED over the mesh
+    axis (DeviceCatalog.row_shard): chip i owns global rowids
+    [i*cap, (i+1)*cap) of every relation, cap = shard_cap(rel), so each
+    chip holds ~1/N of the catalog bytes. This supersedes the
+    reference's single mmap copy (/root/reference/structs.cpp:25-39) at
+    pod scale: a 1B-row catalog on N hosts costs each chip 1/N of HBM,
+    not a full replica. Domain-sized bincount tables stay replicated.
   * live rowid sets and the (k, P) intermediate matrix — ROW-SHARDED over
     the mesh axis. The intermediate is the thing that actually grows
     (20.8M chained rows on the golden workload, BASELINE.md) and it never
     moves between chips; per-shard live counts ride a (n_chips,) array.
+  * rowids in live sets stay within their owner chip's range, so
+    filter/seed/fresh-side gathers are chip-local (subtract the shard
+    base). Intermediate-matrix rowids are global (the case-1 exchange
+    moves them across chips), so value gathers through the intermediate
+    (case 2's probe side, case 3, projections) ride `_dist_gather` — a
+    request/response all_to_all pair routing each rowid to its owner.
 
 Join strategy per chaining case (supersedes the reference's single-node
 partition + per-bucket build/probe, structs.cpp:123-204, Result.cpp:90-124,
@@ -47,7 +58,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..ops.chain import eq_filter_matrix, eq_filter_rows
+from ..ops.chain import eq_filter_rows
+from ..ops.compact import compact_mask_positions
 from ..ops.factorized import run_ftree_wave
 from ..ops.filter import filter_live
 from ..ops.join import RIGHT_SENTINEL, _total_or_overflow, expand_pairs
@@ -73,16 +85,56 @@ def _flat_probe(lv, rv):
     return order, lo, cum - counts, cum, _total_or_overflow(cum)
 
 
-def _gather_partials_flat(plane, rows, count):
-    """Masked limb partial sums of plane[rows[:count]] (per-shard width is
-    a padded bucket, so the CHUNK divisibility of ops/aggregate holds)."""
-    n = rows.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    vals = jnp.where(idx < count, plane[rows], 0)
+def _partials_of_vals(vals):
+    """Limb partial sums of pre-masked values (dead lanes already 0;
+    per-shard width is a padded bucket, so the CHUNK divisibility of
+    ops/aggregate holds)."""
+    n = vals.shape[0]
     lo = vals & 0xFFFF
     hi = vals >> 16
     return jnp.stack([lo.reshape(n // CHUNK, CHUNK).sum(1, dtype=jnp.int32),
                       hi.reshape(n // CHUNK, CHUNK).sum(1, dtype=jnp.int32)])
+
+
+def _shard_base(col, axis):
+    """Global rowid of this chip's first column row (ownership contract:
+    chip i owns rows [i*cap, (i+1)*cap), DeviceCatalog.shard_cap)."""
+    return jax.lax.axis_index(axis) * np.int32(col.shape[0])
+
+
+def _dist_gather(col, idxs, live, axis, n):
+    """Gather a row-sharded column at GLOBAL rowids owned by ANY chip.
+
+    col: this chip's row shard (cap,); global rowid g lives on chip
+    g // cap at offset g % cap. idxs (m,): global rowids; live: which
+    lanes are real (dead lanes return garbage). Cost: one stable sort +
+    two all_to_alls + two gathers + one scatter. The request matrix is
+    (n, m) — capacity m per destination, so routing can never overflow
+    regardless of ownership skew.
+
+    This is the cross-chip half of what the reference gets for free from
+    shared memory (every thread dereferences the one mmap copy,
+    /root/reference/structs.cpp:217-226); here the values move over ICI
+    instead of replicating the catalog into every chip's HBM."""
+    cap = col.shape[0]
+    m = idxs.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    dest = jnp.where(live, idxs // np.int32(cap), np.int32(n))
+    (ip, pp), hist, offs = partition_by_digit(dest, (idxs, pos), n)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    src = jnp.clip(offs[:, None] + j, 0, m - 1)
+    req = ip[src]
+    req_r = jax.lax.all_to_all(req, axis, split_axis=0, concat_axis=0,
+                               tiled=True)        # row s = chip s's asks
+    base = jax.lax.axis_index(axis) * np.int32(cap)
+    resp = col[jnp.clip(req_r - base, 0, cap - 1)]
+    ans = jax.lax.all_to_all(resp, axis, split_axis=0, concat_axis=0,
+                             tiled=True)          # row d = d's answers
+    # my bin-d request at partitioned rank k sits at ans[d, k - offs[d]]
+    k = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    db = jnp.clip(dest[pp], 0, n - 1)
+    got = ans.reshape(-1)[jnp.clip(db * m + k - offs[db], 0, n * m - 1)]
+    return jnp.zeros(m, col.dtype).at[pp].set(got, mode="drop")
 
 
 def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
@@ -139,42 +191,49 @@ def _mask_heavy(vals, heavy, n, sentinel, keep_heavy: bool):
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "nrows", "cap"))
 def d_seed(mesh, axis, nrows: int, cap: int):
-    """Seed a slot's live set: shard i owns rowids [i*chunk, (i+1)*chunk).
+    """Seed a slot's live set: shard i owns rowids [i*cap, (i+1)*cap) —
+    the SAME ranges as the relation's column shards (cap must be
+    DeviceCatalog.shard_cap), so every live-set gather is chip-local.
     Returns (rows (n*cap,) sharded, counts (n,) sharded)."""
-    n = mesh.shape[axis]
-    chunk = -(-nrows // n)
-
     @partial(shard_map, mesh=mesh, in_specs=(), out_specs=(P(axis), P(axis)))
     def body():
         i = jax.lax.axis_index(axis)
-        rows = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-        cnt = jnp.clip(nrows - i * chunk, 0, min(chunk, cap))
+        rows = i * cap + jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        cnt = jnp.clip(nrows - i * cap, 0, cap)
         return rows, cnt.astype(jnp.int32).reshape(1)
     return body()
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "opc"))
 def d_filter(mesh, axis, opc: int, rows, counts, col, const):
-    """Local filter of each shard's live prefix; returns (rows', counts',
-    empty) where empty (replicated bool) is the global NULL flag."""
-    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
+    """Local filter of each shard's live prefix (col is row-sharded; live
+    rowids are in this chip's range, so the gather localizes by the shard
+    base); returns (rows', counts', empty) where empty (replicated bool)
+    is the global NULL flag."""
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P()),
              out_specs=(P(axis), P(axis), P()))
     def body(rows, cnts, col, const):
-        r, c = filter_live(rows, cnts[0], col, const[0], opc)
+        base = _shard_base(col, axis)
+        r, c = filter_live(rows - base, cnts[0], col, const[0], opc)
         total = jax.lax.psum(c, axis)
-        return r, c.reshape(1), total == 0
+        return r + base, c.reshape(1), total == 0
     return body(rows, counts, col, const)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
 def d_eq_rows(mesh, axis, colA, colB, rows, counts):
     """Fresh same-slot predicate (parse_table intended semantics,
-    intermediate.cpp:17-25): local row filter -> (1, P) intermediate."""
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
+    intermediate.cpp:17-25): local row filter -> (1, P) intermediate.
+    Both columns are shards of the SAME relation, so the live rowids are
+    chip-local for both gathers."""
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
              out_specs=(P(None, axis), P(axis)))
     def body(colA, colB, rows, cnts):
-        r, c = eq_filter_rows(colA, colB, rows, cnts[0])
-        return r[None], c.reshape(1)
+        base = _shard_base(colA, axis)
+        r, c = eq_filter_rows(colA, colB, rows - base, cnts[0])
+        return (r + base)[None], c.reshape(1)
     return body(colA, colB, rows, counts)
 
 
@@ -182,27 +241,35 @@ def d_eq_rows(mesh, axis, colA, colB, rows, counts):
 def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
              colA, colB, mat, icnts):
     """Case 3 / joined same-slot: local row filter of the sharded
-    intermediate. With null_flag, also evaluates the reference's pair-set
+    intermediate. Intermediate rowids are global (the case-1 exchange
+    moved them across chips), so both value gathers route through
+    _dist_gather. With null_flag, also evaluates the reference's pair-set
     NULL rule GLOBALLY (Query.cpp:188-191): v1 on one chip may match v2 on
     another, so the other side's values are all_gathered first."""
+    n = mesh.shape[axis]
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(None, axis), P(axis)),
+             in_specs=(P(axis), P(axis), P(None, axis), P(axis)),
              out_specs=((P(None, axis), P(axis), P()) if null_flag
                         else (P(None, axis), P(axis))))
     def body(colA, colB, mat, icnts):
         ic = icnts[0]
-        out = eq_filter_matrix(colA, colB, mat, i1, i2, ic)
-        if not null_flag:
-            return out[0], out[1].reshape(1)
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < ic
-        v1 = jnp.where(live, colA[mat[i1]], LEFT_SENTINEL)
-        v2 = jnp.where(live, colB[mat[i2]], RIGHT_SENTINEL)
-        v2_all = jax.lax.all_gather(v2, axis).reshape(-1)
-        *_, total = _flat_probe(v1, v2_all)
+        v1 = _dist_gather(colA, mat[i1], live, axis, n)
+        v2 = _dist_gather(colB, mat[i2], live, axis, n)
+        m = (v1 == v2) & live
+        pos, cnt = compact_mask_positions(m)
+        out = jnp.zeros_like(mat).at[:, pos].set(mat, mode="drop")
+        if not null_flag:
+            return out, cnt.reshape(1)
+        v1s = jnp.where(live, v1, LEFT_SENTINEL)
+        v2s = jnp.where(live, v2, RIGHT_SENTINEL)
+        v2_all = jax.lax.all_gather(v2s, axis).reshape(-1)
+        *_, total = _flat_probe(v1s, v2_all)
         nonempty = jax.lax.psum((total != 0).astype(jnp.int32), axis) > 0
-        return out[0], out[1].reshape(1), ~nonempty
+        return out, cnt.reshape(1), ~nonempty
     return body(colA, colB, mat, icnts)
 
 
@@ -216,14 +283,18 @@ def d_case1_probe(mesh, axis, heavy_frac: float, colA, colB,
     n = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                       P(axis)),
              out_specs=(P(axis),) * 7 + (P(),))
     def body(colA, colB, lrows, lc, rrows, rc):
         capL, capR = lrows.shape[0], rrows.shape[0]
         il = jax.lax.broadcasted_iota(jnp.int32, (capL,), 0)
         ir = jax.lax.broadcasted_iota(jnp.int32, (capR,), 0)
-        lv = jnp.where(il < lc[0], colA[lrows], LEFT_SENTINEL)
-        rv = jnp.where(ir < rc[0], colB[rrows], RIGHT_SENTINEL)
+        # fresh live rowids are chip-local (d_seed ownership contract)
+        lv = jnp.where(il < lc[0], colA[lrows - _shard_base(colA, axis)],
+                       LEFT_SENTINEL)
+        rv = jnp.where(ir < rc[0], colB[rrows - _shard_base(colB, axis)],
+                       RIGHT_SENTINEL)
 
         heavy = _heavy_digits(rv, n, heavy_frac, axis)
 
@@ -275,20 +346,29 @@ def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
                   col_fresh, frows, fcnts):
     """Case-2 probe: broadcast the (small, filtered) fresh side, probe the
     sharded intermediate locally — the 20M-row side never crosses ICI.
+    The probe side's rowids are global, so its values arrive via
+    _dist_gather; the fresh side's are chip-local.
     Returns (frow_all replicated, order, lo, off, cum, totals, stats)."""
+    n = mesh.shape[axis]
+
     # check_vma off: frow_all comes from all_gather, which IS replicated
     # but the varying-mesh-axes checker cannot statically infer it
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(None, axis), P(axis), P(), P(axis), P(axis)),
+             in_specs=(P(axis), P(None, axis), P(axis), P(axis), P(axis),
+                       P(axis)),
              out_specs=(P(),) + (P(axis),) * 5 + (P(),), check_vma=False)
     def body(col_full, mat, icnts, col_fresh, frows, fc):
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
-        lv = jnp.where(idx < icnts[0], col_full[mat[full_row]],
+        live = idx < icnts[0]
+        lv = jnp.where(live,
+                       _dist_gather(col_full, mat[full_row], live, axis, n),
                        LEFT_SENTINEL)
         capF = frows.shape[0]
         jf = jax.lax.broadcasted_iota(jnp.int32, (capF,), 0)
-        fv = jnp.where(jf < fc[0], col_fresh[frows], RIGHT_SENTINEL)
+        fv = jnp.where(jf < fc[0],
+                       col_fresh[frows - _shard_base(col_fresh, axis)],
+                       RIGHT_SENTINEL)
         fv_all = jax.lax.all_gather(fv, axis).reshape(-1)
         frow_all = jax.lax.all_gather(frows, axis).reshape(-1)
         order, lo, off, cum, total = _flat_probe(lv, fv_all)
@@ -319,31 +399,42 @@ def d_project(mesh, axis, row: int, plane, mat, icnts):
     across the mesh — exact to MAX_PSUM_CHIPS (2**15) devices
     (utils/limbs.py). The host merges halves (merge_fold16) before
     combine_limb_partials."""
-    if mesh.shape[axis] > MAX_PSUM_CHIPS:
-        raise ValueError(f"mesh axis {axis} has {mesh.shape[axis]} devices;"
+    n = mesh.shape[axis]
+    if n > MAX_PSUM_CHIPS:
+        raise ValueError(f"mesh axis {axis} has {n} devices;"
                          f" exact psum folds cap at {MAX_PSUM_CHIPS}")
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(None, axis), P(axis)), out_specs=P())
+             in_specs=(P(axis), P(None, axis), P(axis)), out_specs=P())
     def body(plane, mat, icnts):
+        w = mat.shape[1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+        live = idx < icnts[0]
+        vals = jnp.where(live,
+                         _dist_gather(plane, mat[row], live, axis, n), 0)
         return jax.lax.psum(split_fold16(fold_partials(
-            _gather_partials_flat(plane, mat[row], icnts[0]))), axis)
+            _partials_of_vals(vals))), axis)
     return body(plane, mat, icnts)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "wspecs", "node_rows",
-                                   "domain"))
-def d_ftree(mesh, axis, wspecs, node_rows, domain, cols, vals):
+                                   "node_caps", "col_sharded", "domain"))
+def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded, domain,
+            cols, vals):
     """Whole factorized queries SPMD (ops/factorized.py:run_ftree_wave
-    in distributed mode): every node column is row-sharded by slicing
-    this chip's range out of the replicated copy, each tree level's
-    message table goes global with ONE psum — the TPU-native analog of
-    the reference's per-chunk histogram merge
+    in distributed mode): every node column arrives as this chip's ROW
+    SHARD (DeviceCatalog.row_shard layout — no replica exists anywhere),
+    each tree level's message table goes global with ONE psum — the
+    TPU-native analog of the reference's per-chunk histogram merge
     (/root/reference/structs.cpp:168-173) — and all gathers stay local.
 
-    wspecs:    tuple of (spec, n_cols, n_vals), as in run_ftree_wave
-    node_rows: per wspec, tuple of each node's relation row count
-               (drives the per-chip slice size and validity mask)
+    wspecs:      tuple of (spec, n_cols, n_vals), as in run_ftree_wave
+    node_rows:   per wspec, tuple of each node's relation row count
+                 (drives the validity mask)
+    node_caps:   per wspec, tuple of each node's per-chip shard capacity
+                 (DeviceCatalog.shard_cap of the node's relation)
+    col_sharded: per col, True if row-sharded (node columns / planes),
+                 False if replicated (global bincount tables)
 
     Returns ONE replicated packed int32 vector:
     [flags | psum'd split-half (2, n_outs, 5, 2) weighted folds,
@@ -355,24 +446,20 @@ def d_ftree(mesh, axis, wspecs, node_rows, domain, cols, vals):
                          f"folds cap at {MAX_PSUM_CHIPS}")
     cols = tuple(cols)
     vals = tuple(vals)
+    col_specs = tuple(P(axis) if s else P() for s in col_sharded)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=((P(),) * len(cols), (P(),) * len(vals)),
+             in_specs=(col_specs, (P(),) * len(vals)),
              out_specs=P())
     def body(cols, vals):
         idx = jax.lax.axis_index(axis)
         shards = []
-        for qnodes in node_rows:
-            caps = tuple(max(-(-r // n), 1) for r in qnodes)
+        for qnodes, qcaps in zip(node_rows, node_caps):
+            def slicer(col, i):
+                return col     # node cols arrive pre-sharded
 
-            def slicer(col, i, caps=caps, qnodes=qnodes):
-                cap, rows = caps[i], qnodes[i]
-                padded = jnp.pad(col, (0, n * cap - rows))
-                return jax.lax.dynamic_slice_in_dim(padded, idx * cap,
-                                                    cap)
-
-            def valid(i, caps=caps, qnodes=qnodes):
-                cap, rows = caps[i], qnodes[i]
+            def valid(i, qcaps=qcaps, qnodes=qnodes):
+                cap, rows = qcaps[i], qnodes[i]
                 gid = (idx * cap +
                        jax.lax.broadcasted_iota(jnp.int32, (cap,), 0))
                 return gid < rows

@@ -120,3 +120,34 @@ def test_dist_golden_full(small_catalog, small_batches, golden_lines):
     eng = Engine(small_catalog, EngineConfig(mesh_devices=8))
     got = eng.run_workload(small_batches)
     assert got == golden_lines
+
+
+def test_columns_are_row_sharded_not_replicated():
+    """The distributed catalog must hold ~1/N of each column per chip
+    (round-3 layout: NamedSharding(mesh, P(axis)) columns), not a replica.
+    Also checks ownership alignment: d_seed's rowid ranges equal the
+    column shard ranges."""
+    n_dev = 8
+    rows = 1 << 15                         # large enough to out-bucket pad
+    rng = np.random.default_rng(7)
+    rel = Relation([rng.integers(0, 1000, rows).astype(np.uint64),
+                    rng.integers(0, 1000, rows).astype(np.uint64)])
+    ex = DistExecutor([rel], EngineConfig(), n_devices=n_dev)
+    col = ex.catalog.col(0, 0)
+    cap = ex.catalog.shard_cap(0)
+    assert cap == 1 << 12                  # bucket(ceil(2^15 / 8))
+    assert col.shape[0] == n_dev * cap
+    shard_bytes = [s.data.nbytes for s in col.addressable_shards]
+    assert len(shard_bytes) == n_dev
+    # each chip holds exactly 1/N of the (padded) column — replication
+    # would put col.nbytes on every shard
+    assert all(b == col.nbytes // n_dev for b in shard_bytes)
+    # projection planes shard the same way
+    plane, _ = ex.catalog.proj_planes(0, 1)[0]
+    assert plane.addressable_shards[0].data.nbytes == plane.nbytes // n_dev
+    # the query still answers exactly against the oracle
+    q = Query([0, 0], [JoinPred(0, 0, 1, 1)], [FilterPred(0, 1, "<", 500)],
+              [Projection(0, 1)])
+    got = format_result(ex.execute(q), 1)
+    exp = format_result(OracleExecutor([rel]).execute(q), 1)
+    assert got == exp
