@@ -77,6 +77,14 @@ class EngineConfig:
     skew_heavy_fraction: float = 0.25
     # all_to_all per-destination capacity slack over the uniform share.
     exchange_slack: float = 2.0
+    # Case-1 left-side exchange is split into this many sub-exchanges,
+    # each probed as soon as it lands: chunk k's searchsorted is
+    # independent of chunk k+1's all_to_all, so XLA's latency-hiding
+    # scheduler overlaps communication with probe compute (the TPU-native
+    # analog of the reference's pipelined job queue,
+    # /root/reference/JobScheduler.cpp:103-122). Rounded down to a power
+    # of two dividing the shard width; 1 disables chunking.
+    exchange_chunks: int = 4
 
     # --- dtype policy ---
     # Values/rowids ride 32-bit lanes (TPU-native); the file format stays u64

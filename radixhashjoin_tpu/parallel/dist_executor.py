@@ -164,6 +164,7 @@ class DistExecutor:
                 (Lrow, Rrow, order, lo, off, cum, totals,
                  stats) = d_case1_probe(mesh, ax,
                                         self.config.skew_heavy_fraction,
+                                        self.config.exchange_chunks,
                                         colA, colB, *live[s1], *live[s2])
                 _, mx = self._probe_stats(stats)
                 if mx == 0:

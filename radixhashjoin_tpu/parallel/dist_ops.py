@@ -158,14 +158,13 @@ def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
 
 
 def _exchange_pairs(vals, rows, n_dest, capacity, sentinel, axis):
-    """Bin + all_to_all both arrays; returns chip-local flat
-    (values, rowids) with dead lanes sentineled in values."""
+    """Bin + all_to_all (value, rowid) pairs in ONE stacked collective;
+    returns chip-local flat (values, rowids) with dead lanes sentineled
+    in values."""
     vbins, rbins = _bin_pairs(vals, rows, n_dest, capacity, sentinel)
-    vr = jax.lax.all_to_all(vbins, axis, split_axis=0, concat_axis=0,
-                            tiled=True)
-    rr = jax.lax.all_to_all(rbins, axis, split_axis=0, concat_axis=0,
-                            tiled=True)
-    return vr.reshape(-1), rr.reshape(-1)
+    rec = jax.lax.all_to_all(jnp.stack([vbins, rbins]), axis,
+                             split_axis=1, concat_axis=1, tiled=True)
+    return rec[0].reshape(-1), rec[1].reshape(-1)
 
 
 def _heavy_digits(rv, n: int, heavy_frac: float, axis: str):
@@ -273,13 +272,25 @@ def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
     return body(colA, colB, mat, icnts)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "heavy_frac"))
-def d_case1_probe(mesh, axis, heavy_frac: float, colA, colB,
+@partial(jax.jit, static_argnames=("mesh", "axis", "heavy_frac", "chunks"))
+def d_case1_probe(mesh, axis, heavy_frac: float, chunks: int, colA, colB,
                   lrows, lcnts, rrows, rcnts):
     """Case-1 probe: skew-aware level-0 exchange of (value, rowid) pairs,
     then the chip-local sentinel probe. Returns sharded
     (Lrow, Rrow, order, lo, off, cum, totals) + replicated
-    stats = [min_total, max_total] (min < 0 => capacity overflow)."""
+    stats = [min_total, max_total] (min < 0 => capacity overflow).
+
+    PIPELINED EXCHANGE (`chunks` > 1): the left side is exchanged in K
+    sub-exchanges, each probed against the sorted right side as soon as
+    it lands. Chunk k's searchsorted depends only on its own all_to_all
+    (plus the right sort), so the graph lets XLA's latency-hiding
+    scheduler run chunk k+1's collective WHILE chunk k probes — and the
+    right-side sort itself overlaps the first left chunk's exchange.
+    This is BASELINE's "exchange overlapped with build/probe compute"
+    (SURVEY §7 phase 5), superseding the reference's pipelined job queue
+    (/root/reference/JobScheduler.cpp:103-122) at the XLA-schedule level.
+    The pair multiset is identical for every K (chunking only reorders
+    left lanes); tests run the golden/fuzz suites at K > 1."""
     n = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
@@ -298,31 +309,52 @@ def d_case1_probe(mesh, axis, heavy_frac: float, colA, colB,
 
         heavy = _heavy_digits(rv, n, heavy_frac, axis)
 
-        # light path: route pairs to the digit-owner chip
-        lv_light = _mask_heavy(lv, heavy, n, LEFT_SENTINEL, False)
+        # right side first: exchange light digits + broadcast heavy ones,
+        # then ONE argsort — the build-side compute the left exchanges
+        # overlap with
         rv_light = _mask_heavy(rv, heavy, n, RIGHT_SENTINEL, False)
-        lfv, lfr = _exchange_pairs(lv_light, lrows, n, capL,
-                                   LEFT_SENTINEL, axis)
         rfv, rfr = _exchange_pairs(rv_light, rrows, n, capR,
                                    RIGHT_SENTINEL, axis)
-
-        # heavy path: right heavy rows broadcast, left heavy rows stay home
-        lv_heavy = _mask_heavy(lv, heavy, n, LEFT_SENTINEL, True)
         rv_heavy = _mask_heavy(rv, heavy, n, RIGHT_SENTINEL, True)
         rgv = jax.lax.all_gather(rv_heavy, axis).reshape(-1)
         rgr = jax.lax.all_gather(rrows, axis).reshape(-1)
-
-        # light x heavy cannot match (digit heaviness differs), so the
-        # concatenated local join counts every global pair exactly once
-        L = jnp.concatenate([lfv, lv_heavy])
-        Lrow = jnp.concatenate([lfr, lrows])
         R = jnp.concatenate([rfv, rgv])
         Rrow = jnp.concatenate([rfr, rgr])
+        order = jnp.argsort(R).astype(jnp.int32)
+        rs = R[order]
 
-        order, lo, off, cum, total = _flat_probe(L, R)
+        # left light path, K chunked sub-exchanges; heavy left rows stay
+        # home (light x heavy cannot match — digit heaviness differs — so
+        # the concatenated probe counts every global pair exactly once)
+        lv_light = _mask_heavy(lv, heavy, n, LEFT_SENTINEL, False)
+        lv_heavy = _mask_heavy(lv, heavy, n, LEFT_SENTINEL, True)
+        K = max(min(chunks, capL), 1)
+        while capL % K:
+            K //= 2
+        ck = capL // K
+        segs = []
+        for k in range(K):
+            sl = slice(k * ck, (k + 1) * ck)
+            segs.append(_exchange_pairs(lv_light[sl], lrows[sl], n, ck,
+                                        LEFT_SENTINEL, axis))
+        segs.append((lv_heavy, lrows))
+        los, cnts, row_parts = [], [], []
+        for (lfv, lfr) in segs:
+            lo_k = jnp.searchsorted(rs, lfv, side="left",
+                                    method="sort").astype(jnp.int32)
+            hi_k = jnp.searchsorted(rs, lfv, side="right",
+                                    method="sort").astype(jnp.int32)
+            los.append(lo_k)
+            cnts.append(jnp.where(lfv >= 0, hi_k - lo_k, 0))
+            row_parts.append(lfr)
+        lo = jnp.concatenate(los)
+        counts = jnp.concatenate(cnts)
+        Lrow = jnp.concatenate(row_parts)
+        cum = jnp.cumsum(counts)
+        total = _total_or_overflow(cum)
         stats = jnp.stack([jax.lax.pmin(total, axis),
                            jax.lax.pmax(total, axis)])
-        return (Lrow, Rrow, order, lo, off, cum,
+        return (Lrow, Rrow, order, lo, cum - counts, cum,
                 total.reshape(1), stats)
     return body(colA, colB, lrows, lcnts, rrows, rcnts)
 
