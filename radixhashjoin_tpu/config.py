@@ -86,6 +86,14 @@ class EngineConfig:
     # of two dividing the shard width; 1 disables chunking.
     exchange_chunks: int = 4
 
+    # --- factorized message-table kernels (ops/tables.py) ---
+    # "xla" (scatter-add / gather engines), "sorted" (carrying sort +
+    # boundary diffs, scatter-free), "onehot" (Pallas one-hot scatter /
+    # MXU limb-matmul gather, narrow tables), or "auto" (pick by
+    # backend, table width, and row count from committed measurements).
+    ftree_scatter: str = "auto"
+    ftree_gather: str = "auto"
+
     # --- dtype policy ---
     # Values/rowids ride 32-bit lanes (TPU-native); the file format stays u64
     # at the host boundary (structs.cpp:28-39). Columns with values >= 2**31

@@ -408,10 +408,22 @@ class BatchExecutor:
             the condition collapses to a SAME-SLOT selection, recorded
             with born_of_join=True (its pair-set-empty NULL rule differs
             from a native selection's only when trailing — see below);
-          * otherwise the cycle needs a composite key: fall back.
+          * the two slots are joined by an EXISTING DIRECT tree edge
+            (a parallel edge over distinct columns) -> FUSE into that
+            edge as a composite key (DeviceCatalog.edge_key pair
+            dictionary): the fused edge enforces both equalities, and
+            predicate order cannot change the final multiset (pure
+            conjunction) or the NULL outcome (any step emptying ==
+            final multiset empty) — EXCEPT when no join follows the
+            fusing predicate, where the reference's trailing rule
+            (sums-0-not-NULL iff the step's own pair set is non-empty,
+            oracle.py:121-142) differs from root emptiness: that case
+            falls back (checked after the walk);
+          * otherwise (slots connected only transitively): fall back.
 
         A comp is {"nodes": slots in attach order (nodes[0] = root),
-        "set", "edges": [(p_slot, p_col, c_slot, c_col)] in attach order,
+        "set", "edges": [(p_slot, p_cols, c_slot, c_cols)] in attach
+        order with TUPLE column keys (len > 1 == composite/fused edge),
         "sels": [(slot, c1, c2, n_edges_at_append, born_of_join)],
         "trail": None | (slot, c1, c2, born_of_join) — at most one
         selection sitting AFTER the last edge; ops/factorized.py excludes
@@ -486,9 +498,29 @@ class BatchExecutor:
                         if ms == s1:
                             sel = (s1, c1, mc)
                             break
-                if sel is None:
-                    return None      # genuine composite-key cycle
-                comp["sels"].append((*sel, at, True))
+                if sel is not None:
+                    comp["sels"].append((*sel, at, True))
+                    union(a, b)
+                    continue
+                # parallel edge over distinct columns: fuse into the
+                # existing DIRECT edge as a composite key (exact: the
+                # fused edge enforces both equalities; see docstring).
+                # Only slots joined by a direct edge qualify — a
+                # transitive cycle would need path rewriting: fall back.
+                fused = False
+                for i, (p, pcs, c, ccs) in enumerate(comp["edges"]):
+                    if {p, c} == {s1, s2}:
+                        if p == s1:
+                            add_p, add_c = c1, c2
+                        else:
+                            add_p, add_c = c2, c1
+                        comp["edges"][i] = (p, pcs + (add_p,),
+                                            c, ccs + (add_c,))
+                        fused = True
+                        break
+                if not fused:
+                    return None      # transitive composite cycle
+                comp.setdefault("fused_at", []).append(at)
                 union(a, b)
                 continue
             if not j1 and not j2:
@@ -497,12 +529,12 @@ class BatchExecutor:
                 comp = new_comp(s1)
                 comp["nodes"].append(s2)
                 comp["set"].add(s2)
-                comp["edges"].append((s1, c1, s2, c2))
+                comp["edges"].append((s1, (c1,), s2, (c2,)))
             else:
                 p, pc, ch, cc = (s1, c1, s2, c2) if j1 else (s2, c2, s1, c1)
                 comp["nodes"].append(ch)
                 comp["set"].add(ch)
-                comp["edges"].append((p, pc, ch, cc))
+                comp["edges"].append((p, (pc,), ch, (cc,)))
             union((s1, c1), (s2, c2))
         if comp is None or not comp["edges"]:
             return None
@@ -511,6 +543,12 @@ class BatchExecutor:
         # one via the trailing-selection machinery (pre-selection NULL
         # gating) — more than one would need progressive re-masking
         ne = len(comp["edges"])
+        # a TRAILING fusion (no edge appended after it) would replace the
+        # reference's step-pair-set NULL rule with root emptiness — the
+        # one case where they differ (sums-0-not-NULL): fall back
+        for w in [comp] + wiped:
+            if any(a == len(w["edges"]) for a in w.get("fused_at", ())):
+                return None
         trailing = [s for s in comp["sels"] if s[3] == ne]
         if len(trailing) > 1:
             return None
@@ -540,9 +578,11 @@ class BatchExecutor:
         capB = [0] * len(edges)
         capbeta = {}
         for i in range(len(edges) - 1, -1, -1):
-            p, _pc, c, cc = edges[i]
+            p, pcs, c, ccs = edges[i]
             n_c = max(cat.relations[q.slots[c]].num_tuples, 1)
-            cb = min(cat.max_mult(q.slots[c], cc), n_c) * capbeta.get(c, 1)
+            mult_c = cat.edge_key_max_mult(q.slots[p], pcs, q.slots[c],
+                                           ccs, "c")
+            cb = min(mult_c, n_c) * capbeta.get(c, 1)
             if cb >= self._CAP:
                 return False
             capB[i] = cb
@@ -553,7 +593,7 @@ class BatchExecutor:
         for i, (p, *_r) in enumerate(edges):
             child_edges.setdefault(p, []).append(i)
         capalpha = {comp["nodes"][0]: 1}
-        for i, (p, pc, c, _cc) in enumerate(edges):
+        for i, (p, pcs, c, ccs) in enumerate(edges):
             excl = capalpha[p]
             for j in child_edges[p]:
                 if j != i:
@@ -561,7 +601,9 @@ class BatchExecutor:
             if excl >= self._CAP:
                 return False
             n_p = max(cat.relations[q.slots[p]].num_tuples, 1)
-            ca = min(cat.max_mult(q.slots[p], pc), n_p) * excl
+            mult_p = cat.edge_key_max_mult(q.slots[p], pcs, q.slots[c],
+                                           ccs, "p")
+            ca = min(mult_p, n_p) * excl
             if ca >= self._CAP:
                 return False
             capalpha[c] = ca
@@ -602,14 +644,30 @@ class BatchExecutor:
             for (c1, c2) in sels_by[i]:
                 cols.append(cat.col(q.slots[s], c1))
                 cols.append(cat.col(q.slots[s], c2))
+        def _width(*col_maxes: int) -> int:
+            """Smallest power of two spanning every listed code max —
+            the edge's message-table width (covers both scatter and
+            gather key ranges, so no index can leave the table)."""
+            w = 8
+            need = max(col_maxes) + 1
+            while w < need:
+                w *= 2
+            return w
+
         trail = comp.get("trail")
         trail_spec = None
         if trail is not None:
             ts, tc1, tc2, tborn = trail
-            trail_spec = (idx_of[ts], tborn)
+            trail_spec = (idx_of[ts], tborn,
+                          _width(cat.code_max(q.slots[ts], tc1),
+                                 cat.code_max(q.slots[ts], tc2)))
             cols.append(cat.col(q.slots[ts], tc1))
             cols.append(cat.col(q.slots[ts], tc2))
         edges_bu = list(reversed(comp["edges"]))
+        # device key columns per edge (composite edges synthesize shared
+        # pair-code columns; DeviceCatalog.edge_key)
+        edge_keys = [cat.edge_key(q.slots[p], pcs, q.slots[c], ccs)
+                     for (p, pcs, c, ccs) in edges_bu]
         proj_nodes = set()
         if with_projs:
             proj_nodes = {idx_of[p.slot] for p in q.projections
@@ -619,23 +677,27 @@ class BatchExecutor:
             proj_nodes = proj_nodes | {trail_spec[0]}
         # needs_down: the child's subtree contains a projection node
         in_subtree = {i: {i} for i in range(len(nodes))}
-        for (p, _pc, c, _cc) in reversed(comp["edges"]):
+        for (p, _pcs, c, _ccs) in reversed(comp["edges"]):
             in_subtree[idx_of[p]] |= in_subtree[idx_of[c]]
         has_children = {idx_of[p] for (p, *_r) in comp["edges"]}
         spec_edges = []
-        for (p, pc, c, cc) in edges_bu:
+        for (p, pcs, c, ccs), (pk, ck, cmax) in zip(edges_bu, edge_keys):
             pi, ci_ = idx_of[p], idx_of[c]
             pre = (ci_ not in has_children and not filts_by[ci_]
                    and not sels_by[ci_]
                    and (trail_spec is None or ci_ != trail_spec[0]))
             needs_down = bool(in_subtree[ci_] & proj_nodes)
-            spec_edges.append((pi, ci_, pre, needs_down))
-            cols.append(cat.col(q.slots[p], pc))
-            cols.append(cat.col(q.slots[c], cc))
-        for (p, pc, c, cc), (_pi, _ci, pre, _nd) in zip(edges_bu,
-                                                        spec_edges):
+            spec_edges.append((pi, ci_, pre, needs_down, _width(cmax)))
+            cols.append(pk)
+            cols.append(ck)
+        for (p, pcs, c, ccs), (_pi, _ci, pre, _nd, w) in zip(edges_bu,
+                                                             spec_edges):
             if pre:
-                cols.append(cat.bincount_table(q.slots[c], cc))
+                if len(ccs) == 1:
+                    cols.append(cat.bincount_table(q.slots[c], ccs[0]))
+                else:
+                    cols.append(cat.edge_bincount(q.slots[p], pcs,
+                                                  q.slots[c], ccs, w))
         projs = []
         if with_projs:
             for idx, p in enumerate(q.projections):
@@ -1063,7 +1125,9 @@ class BatchExecutor:
                       tuple(ic_in), tuple(probes_in), tuple(cols),
                       tuple(vals), plan_t, self.catalog.domain,
                       tuple(keep_slots), tuple(keep_mats),
-                      tuple(keep_probes)),
+                      tuple(keep_probes),
+                      self.config.ftree_scatter,
+                      self.config.ftree_gather),
             tuple(live_in) + tuple(mats_in))
         packed, lr_k, lc_k, mats_k, ics_k, probes_k = out
         vid = len(vecs)

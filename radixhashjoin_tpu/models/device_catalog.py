@@ -175,6 +175,108 @@ class DeviceCatalog:
                 self._planes[key] = planes
         return self._planes[key]
 
+    # ---- composite (tuple) join keys ----
+    #
+    # A case-3 predicate paralleling an existing tree edge fuses into
+    # that edge as a COMPOSITE key (models/batch.py:_extract_tree): the
+    # pair (a, b) joins equal iff a pair-code joins equal under a
+    # dictionary SHARED by both relations. Codes pack two int32 device
+    # codes into one int64, np.unique over both relations' packs gives
+    # the dense shared code space; longer tuples fold recursively
+    # (code, next_col) — the ROADMAP pair-dictionary, host-built once
+    # and cached. Supersedes the reference's generic multi-predicate
+    # chaining (/root/reference/intermediate.cpp:72-87) at factorized
+    # speed.
+
+    def _host_codes(self, rel_id: int, col: int) -> np.ndarray:
+        if self.dict_vals is None:
+            return self.relations[rel_id].narrow_column(col)
+        return np.searchsorted(
+            self.dict_vals,
+            self.relations[rel_id].values[col]).astype(np.int32)
+
+    def _edge_key_host(self, rel_p: int, pcols: tuple, rel_c: int,
+                       ccols: tuple):
+        """Host half of edge_key: (pcodes, ccodes, n_codes) under one
+        shared dense encoding."""
+        pk = self._host_codes(rel_p, pcols[0]).astype(np.int64)
+        ck = self._host_codes(rel_c, ccols[0]).astype(np.int64)
+        for pc, cc in zip(pcols[1:], ccols[1:]):
+            pk = (pk << 32) | self._host_codes(rel_p, pc)
+            ck = (ck << 32) | self._host_codes(rel_c, cc)
+            shared = np.unique(np.concatenate([pk, ck]))
+            pk = np.searchsorted(shared, pk)
+            ck = np.searchsorted(shared, ck)
+        return pk.astype(np.int32), ck.astype(np.int32)
+
+    def edge_key(self, rel_p: int, pcols: tuple, rel_c: int,
+                 ccols: tuple):
+        """Device key columns of a (possibly composite) tree edge:
+        (pkey, ckey, code_max). Single-column edges are the plain catalog
+        columns; composite edges get shared pair codes (dense, so
+        code_max = #codes - 1)."""
+        if len(pcols) == 1:
+            return (self.col(rel_p, pcols[0]), self.col(rel_c, ccols[0]),
+                    max(self.code_max(rel_p, pcols[0]),
+                        self.code_max(rel_c, ccols[0])))
+        key = ("edgekey", rel_p, pcols, rel_c, ccols)
+        if not hasattr(self, "_edge_keys"):
+            self._edge_keys: Dict[tuple, tuple] = {}
+        if key not in self._edge_keys:
+            pk, ck = self._edge_key_host(rel_p, pcols, rel_c, ccols)
+            cmax = int(max(pk.max(initial=0), ck.max(initial=0)))
+            self._edge_keys[key] = (self._put_rows(rel_p, pk),
+                                    self._put_rows(rel_c, ck), cmax)
+        return self._edge_keys[key]
+
+    def edge_key_max_mult(self, rel_p: int, pcols: tuple, rel_c: int,
+                          ccols: tuple, side: str) -> int:
+        """Max multiplicity of the edge key within one side's relation
+        (host scan, cached) — the composite analog of max_mult for the
+        planner's overflow caps."""
+        if len(pcols) == 1:
+            rel, col = ((rel_p, pcols[0]) if side == "p"
+                        else (rel_c, ccols[0]))
+            return self.max_mult(rel, col)
+        if not hasattr(self, "_edge_mults"):
+            self._edge_mults: Dict[tuple, int] = {}
+        key = ("edgemult", rel_p, pcols, rel_c, ccols, side)
+        if key not in self._edge_mults:
+            pk, ck = self._edge_key_host(rel_p, pcols, rel_c, ccols)
+            codes = pk if side == "p" else ck
+            if len(codes) == 0:
+                self._edge_mults[key] = 1
+            else:
+                _, counts = np.unique(codes, return_counts=True)
+                self._edge_mults[key] = int(counts.max())
+        return self._edge_mults[key]
+
+    def edge_bincount(self, rel_p: int, pcols: tuple, rel_c: int,
+                      ccols: tuple, width: int) -> jax.Array:
+        """Precomputed child-side key bincount for a pristine leaf of a
+        composite edge (width-sized, replicated) — the composite analog
+        of bincount_table."""
+        key = ("edgebc", rel_p, pcols, rel_c, ccols, width)
+        if not hasattr(self, "_edge_bincounts"):
+            self._edge_bincounts: Dict[tuple, jax.Array] = {}
+        if key not in self._edge_bincounts:
+            _, ck = self._edge_key_host(rel_p, pcols, rel_c, ccols)
+            t = np.bincount(ck, minlength=width).astype(np.int32)
+            self._edge_bincounts[key] = jax.device_put(t, self._sharding)
+        return self._edge_bincounts[key]
+
+    def code_max(self, rel_id: int, col: int) -> int:
+        """Max DEVICE CODE of a column: the load-time value max under the
+        identity encoding, or the dictionary code of that max (the
+        encoding is order-preserving, and the column's max value is by
+        definition present). Drives per-edge message-table widths in the
+        factorized planner: a table need only span the two key columns'
+        code ranges, not the whole catalog domain."""
+        s = self.relations[rel_id].stats[col]
+        if self.dict_vals is None:
+            return int(s.max)
+        return int(np.searchsorted(self.dict_vals, np.uint64(s.max)))
+
     def max_mult(self, rel_id: int, col: int) -> int:
         """Exact max multiplicity of any value in the column (host scan,
         cached). Used by the planner to pick the widest safe fresh-sum

@@ -32,7 +32,8 @@ non-fused scatter/gather kernel costs ~0.1 ms of scheduling, so a
 50-query batch at ~5 kernels/query pays ~25 ms regardless of data size.
 The wave runner executes MANY queries' trees in one program, merging
 every scatter and gather at the same tree LEVEL across queries into one
-segmented-domain kernel (edge i gets domain slice [i*D, (i+1)*D)):
+segmented kernel (each edge owns a width-sized slice, offsets = running
+sums of the per-edge widths):
 kernel count drops from O(queries x edges) to O(tree height).
 
 Per-row weights alpha*beta are exact in int32 under host-checked caps
@@ -58,9 +59,16 @@ different relations share one compiled program.
                 OP_EQ/OP_LT/OP_GT); each consumes one col + one val
     n_sels:     per node, number of same-slot equality selections
                 (each consumes two cols)
-    edges:      (parent_node, child_node, pre_flag, needs_down) in
-                bottom-up order (every child edge precedes its
-                parent's); standalone flag-only nodes have no edges
+    edges:      (parent_node, child_node, pre_flag, needs_down, width)
+                in bottom-up order (every child edge precedes its
+                parent's); standalone flag-only nodes have no edges.
+                width = power of two spanning BOTH key columns' code
+                ranges — the edge's message tables are width-sized, so
+                a level's segmented table is sum-of-widths long instead
+                of n_edges * catalog_domain (smaller zero-fill, smaller
+                scatters, and small-domain fast paths become reachable
+                even when an unrelated column blows up the global
+                domain)
     flag_nodes: node indices whose mask-emptiness raises a NULL flag
                 (every filtered node, including slots outside the tree)
     root:       the tree's root node index (M-emptiness flag source);
@@ -68,7 +76,7 @@ different relations share one compiled program.
     projs:      tuple of (node,) — one per emitted partial, each a
                 (5, 2) weighted_partials fold (combine on host with
                 combine_weighted_partials)
-    trail:      None, or (node, born_of_join) — ONE selection sitting
+    trail:      None, or (node, born_of_join, width) — ONE selection sitting
                 AFTER the last join (consumes two cols). It filters the
                 final multiset (rides messages + sum weights) but not
                 the NULL flags; it REPLACES the root M-emptiness flag
@@ -103,13 +111,14 @@ class _Tree:
     """Per-spec traced state inside a wave."""
 
     __slots__ = ("spec", "edges", "flag_nodes", "root", "projs",
-                 "mask", "msg_mask", "tnode", "tborn", "tsel_a", "tsel_b",
+                 "mask", "msg_mask", "tnode", "tborn", "twidth",
+                 "tsel_a", "tsel_b",
                  "pkey", "ckey", "pre", "children", "boolean",
-                 "beta", "contrib", "alpha", "seg", "planes",
+                 "beta", "contrib", "alpha", "planes",
                  "by_height", "by_depth")
 
 
-def _parse_spec(spec, cols, vals, domain, shard=None):
+def _parse_spec(spec, cols, vals, shard=None):
     """Consume one spec's cols/vals (doc order above) into a _Tree:
     masks, key columns, pre tables, plus static height/depth schedules
     for the wave's level-batched passes.
@@ -182,9 +191,9 @@ def _parse_spec(spec, cols, vals, domain, shard=None):
     # boolean; the part/hit gate only tests >0, so clamped messages stay
     # correct there.
     t.msg_mask = list(mask)
-    t.tnode = t.tsel_a = t.tsel_b = t.tborn = None
+    t.tnode = t.tsel_a = t.tsel_b = t.tborn = t.twidth = None
     if trail is not None:
-        t.tnode, t.tborn = trail
+        t.tnode, t.tborn, t.twidth = trail
         t.tsel_a = node_col_raw(t.tnode)
         t.tsel_b = node_col_raw(t.tnode)
         tsel = t.tsel_a == t.tsel_b
@@ -192,16 +201,18 @@ def _parse_spec(spec, cols, vals, domain, shard=None):
                                else mask[t.tnode] & tsel)
 
     t.pkey, t.ckey = [], []
-    for (p, c, _pre, _nd) in edges:
+    for (p, c, _pre, _nd, _w) in edges:
         t.pkey.append(node_col_raw(p))
         t.ckey.append(node_col_raw(c))
     t.pre = []
-    for (_p, _c, pre_flag, _nd) in edges:
-        t.pre.append(next_col() if pre_flag else None)
+    for (_p, _c, pre_flag, _nd, w) in edges:
+        # precomputed bincounts are catalog-domain long; the edge only
+        # spans its own width (slicing drops nothing: codes <= width-1)
+        t.pre.append(next_col()[:w] if pre_flag else None)
     t.planes = [node_col_raw(i) for (i,) in projs]
 
     t.children = {i: [] for i in range(k)}
-    for ei, (p, _c, _pre, _nd) in enumerate(edges):
+    for ei, (p, _c, _pre, _nd, _w) in enumerate(edges):
         t.children[p].append(ei)
 
     # flag-only trees (no projs — wiped components gating NULL) run in
@@ -211,7 +222,6 @@ def _parse_spec(spec, cols, vals, domain, shard=None):
     t.beta = [None] * k
     t.alpha = [None] * k
     t.contrib = [None] * len(edges)
-    t.seg = [0] * len(edges)
 
     # static schedules. height(e) = 1 + max height of the child node's
     # incoming edges (bottom-up order makes this a single sweep); a
@@ -221,7 +231,7 @@ def _parse_spec(spec, cols, vals, domain, shard=None):
     height = [0] * len(edges)
     node_h = {}
     t.by_height = {}
-    for ei, (p, c, _pre, _nd) in enumerate(edges):
+    for ei, (p, c, _pre, _nd, _w) in enumerate(edges):
         h = node_h.get(c, 0) + 1
         height[ei] = h
         node_h[p] = max(node_h.get(p, 0), h)
@@ -229,11 +239,11 @@ def _parse_spec(spec, cols, vals, domain, shard=None):
     # depth(e) = distance of the parent node from the root along
     # needs_down edges (needs_down(e) implies needs_down(incoming(p)),
     # so the chain is always assigned)
-    incoming = {c: ei for ei, (_p, c, _pre, _nd) in enumerate(edges)}
+    incoming = {c: ei for ei, (_p, c, _pre, _nd, _w) in enumerate(edges)}
     depth = {}
     t.by_depth = {}
     for ei in reversed(range(len(edges))):     # top-down
-        p, c, _pre, needs_down = edges[ei]
+        p, c, _pre, needs_down, _w = edges[ei]
         if not needs_down:
             continue
         d = depth[incoming[p]] + 1 if p in incoming else 0
@@ -254,14 +264,19 @@ def _none_anywhere(x, axis):
     return jax.lax.psum(a.astype(jnp.int32), axis) == 0
 
 
-def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
+def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
+                   scatter="xla", gather="xla"):
     """Execute MANY factorized trees in one traced program, batching all
     same-level message scatters/gathers across trees into single
-    segmented-domain kernels.
+    segmented kernels (per-edge table widths, offsets = running sums).
 
     wspecs: tuple of (spec, n_cols, n_vals); cols/vals hold every spec's
     operands back to back. Returns (flags, partials) flat, in spec order
     (within a spec: flag_nodes flags, then the M/trailing flag).
+
+    scatter/gather: message-table kernel implementations
+    (ops/tables.py): "xla" | "sorted" | "onehot" | "auto" — auto picks
+    by backend, table width, and row count from committed measurements.
 
     Distributed mode (inside shard_map): `axis` names the mesh axis and
     `shards` gives per-spec (slicer, valid) row-sharding hooks
@@ -271,17 +286,22 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
     (/root/reference/structs.cpp:168-173) — and all gathers stay local.
     Flags reduce globally; the returned partials are per-shard (the
     caller psums the stack)."""
-    D = domain
+    from .tables import scatter_table, table_gather
     trees = []
     ci = vi = 0
     for qi, (spec, nc, nv) in enumerate(wspecs):
         trees.append(_parse_spec(spec, cols[ci:ci + nc],
-                                 vals[vi:vi + nv], D,
+                                 vals[vi:vi + nv],
                                  None if shards is None else shards[qi]))
         ci += nc
         vi += nv
 
     # ---- up pass, level-batched across trees ----
+    # Per level, every participating edge owns a width-sized slice of ONE
+    # concatenated table (offsets = running sum of edge widths): scatter
+    # edges first (one scatter builds them all), precomputed bincounts
+    # appended after. Both key columns' codes fit the edge width by
+    # construction, so no index can leave its slice.
     maxh = max((h for t in trees for h in t.by_height), default=0)
     for h in range(1, maxh + 1):
         ups = [(t, ei) for t in trees for ei in t.by_height.get(h, ())]
@@ -289,16 +309,20 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
             continue
         sc = [(t, ei) for (t, ei) in ups if t.pre[ei] is None]
         pr = [(t, ei) for (t, ei) in ups if t.pre[ei] is not None]
-        nsc = len(sc)
+        offs = {}
+        total = 0
+        for (t, ei) in sc + pr:
+            offs[(id(t), ei)] = total
+            total += t.edges[ei][4]
         parts = []
         if sc:
-            sent = np.int32(nsc * D)      # mode="drop" sentinel
+            t_sc = sum(t.edges[ei][4] for (t, ei) in sc)
+            sent = np.int32(t_sc)        # mode="drop" sentinel
             idxs, ws = [], []
-            for s, (t, ei) in enumerate(sc):
-                t.seg[ei] = s
-                _p, c, _pre, _nd = t.edges[ei]
+            for (t, ei) in sc:
+                _p, c, _pre, _nd, _w = t.edges[ei]
                 key = t.ckey[ei]
-                off = np.int32(s * D)
+                off = np.int32(offs[(id(t), ei)])
                 w = t.beta[c]
                 mm = t.msg_mask[c]
                 if mm is not None:
@@ -309,21 +333,19 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
                     idxs.append(key + off)
                     ws.append(jnp.ones(key.shape[0], jnp.int32)
                               if w is None else w)
-            B = (jnp.zeros(nsc * D, jnp.int32)
-                 .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+            B = scatter_table(_concat(idxs), _concat(ws), t_sc, scatter)
             if axis is not None:
                 B = jax.lax.psum(B, axis)     # local scatters -> global
             parts.append(B)
-        for j, (t, ei) in enumerate(pr):
-            t.seg[ei] = nsc + j
+        for (t, ei) in pr:
             parts.append(t.pre[ei])           # already-global bincounts
         mega = _concat(parts)
         gks, meta = [], []
         for (t, ei) in sc + pr:
-            gk = t.pkey[ei] + np.int32(t.seg[ei] * D)
+            gk = t.pkey[ei] + np.int32(offs[(id(t), ei)])
             gks.append(gk)
             meta.append((t, ei, gk.shape[0]))
-        g = mega[_concat(gks)]
+        g = table_gather(mega, _concat(gks), gather)
         o = 0
         for (t, ei, n) in meta:
             cv = g[o:o + n]
@@ -340,19 +362,22 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
         downs = [(t, ei) for t in trees for ei in t.by_depth.get(d, ())]
         if not downs:
             continue
-        nsc = len(downs)
-        sent = np.int32(nsc * D)
+        offs = {}
+        total = 0
+        for (t, ei) in downs:
+            offs[(id(t), ei)] = total
+            total += t.edges[ei][4]
+        sent = np.int32(total)
         idxs, ws = [], []
-        for s, (t, ei) in enumerate(downs):
-            t.seg[ei] = s
-            p, _c, _pre, _nd = t.edges[ei]
+        for (t, ei) in downs:
+            p, _c, _pre, _nd, _w = t.edges[ei]
             w = t.alpha[p]
             for ej in t.children[p]:
                 if ej != ei:
                     w = (t.contrib[ej] if w is None
                          else w * t.contrib[ej])
             key = t.pkey[ei]
-            off = np.int32(s * D)
+            off = np.int32(offs[(id(t), ei)])
             mm = t.msg_mask[p]
             if mm is not None:
                 idxs.append(jnp.where(mm, key + off, sent))
@@ -362,16 +387,15 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
                 idxs.append(key + off)
                 ws.append(jnp.ones(key.shape[0], jnp.int32)
                           if w is None else w)
-        A = (jnp.zeros(nsc * D, jnp.int32)
-             .at[_concat(idxs)].add(_concat(ws), mode="drop"))
+        A = scatter_table(_concat(idxs), _concat(ws), total, scatter)
         if axis is not None:
             A = jax.lax.psum(A, axis)
         gks, meta = [], []
         for (t, ei) in downs:
-            gk = t.ckey[ei] + np.int32(t.seg[ei] * D)
+            gk = t.ckey[ei] + np.int32(offs[(id(t), ei)])
             gks.append(gk)
             meta.append((t, ei, gk.shape[0]))
-        g = A[_concat(gks)]
+        g = table_gather(A, _concat(gks), gather)
         o = 0
         for (t, ei, n) in meta:
             t.alpha[t.edges[ei][1]] = g[o:o + n]
@@ -409,11 +433,12 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
                 # SET is empty (oracle.py:133-142) <=> no participating
                 # row's left class value equals any participating row's
                 # right value — a support-intersection test over one
-                # dense domain table (made global by psum in dist mode:
-                # a value may participate on one chip and match on
+                # dense width-sized table (made global by psum in dist
+                # mode: a value may participate on one chip and match on
                 # another)
-                supp = jnp.zeros(D, jnp.int32).at[
-                    jnp.where(part, t.tsel_a, np.int32(D))].max(
+                W = t.twidth
+                supp = jnp.zeros(W, jnp.int32).at[
+                    jnp.where(part, t.tsel_a, np.int32(W))].max(
                     part.astype(jnp.int32), mode="drop")
                 if axis is not None:
                     supp = jax.lax.psum(supp, axis)
@@ -459,11 +484,12 @@ def run_ftree_wave(wspecs, cols, vals, domain, axis=None, shards=None):
     return tuple(flags), parts
 
 
-def run_ftree(spec, cols, vals, domain):
+def run_ftree(spec, cols, vals, scatter="xla", gather="xla"):
     """Execute one factorized tree (a single-spec wave). Returns
     (flags, partials): one bool flag per flag_node plus the M-emptiness
     flag, and one (5, 2) int32 weighted fold per projs entry. Traced
     inline under the fused stage program (ops/stage.py)."""
     return run_ftree_wave(((spec, len(cols), len(vals)),),
-                          tuple(cols), tuple(vals), domain)
+                          tuple(cols), tuple(vals),
+                          scatter=scatter, gather=gather)
 

@@ -101,9 +101,11 @@ def touched_state(plan):
 
 
 @partial(jax.jit, static_argnames=("plan", "domain", "keep_slots",
-                                   "keep_mats", "keep_probes"))
+                                   "keep_mats", "keep_probes",
+                                   "ftree_scatter", "ftree_gather"))
 def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
-              plan, domain, keep_slots=(), keep_mats=(), keep_probes=()):
+              plan, domain, keep_slots=(), keep_mats=(), keep_probes=(),
+              ftree_scatter="xla", ftree_gather="xla"):
     """Execute one fused stage for a group of queries.
 
     Returns (packed, kept live_rows, kept live_cnt, kept mats, kept
@@ -291,7 +293,8 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             fv = tuple(vals[vi:vi + n_vals])
             ci += n_cols
             vi += n_vals
-            fflags, outs = run_ftree(spec, fc, fv, domain)
+            fflags, outs = run_ftree(spec, fc, fv, scatter=ftree_scatter,
+                                     gather=ftree_gather)
             flags.extend(fflags)
             partials.extend(outs)
         elif k == "ftree_wave":
@@ -304,7 +307,9 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             fv = tuple(vals[vi:vi + n_vals])
             ci += n_cols
             vi += n_vals
-            fflags, outs = run_ftree_wave(wspecs, fc, fv, domain)
+            fflags, outs = run_ftree_wave(wspecs, fc, fv,
+                                          scatter=ftree_scatter,
+                                          gather=ftree_gather)
             flags.extend(fflags)
             partials.extend(outs)
         elif k == "project":

@@ -92,8 +92,9 @@ class DistExecutor:
                             for c in fcols)
         packed = np.asarray(d_ftree(self.mesh, self.axis, wspecs,
                                     node_rows, node_caps, col_sharded,
-                                    self.catalog.domain,
-                                    tuple(fcols), tuple(fvals)))
+                                    tuple(fcols), tuple(fvals),
+                                    scatter=self.config.ftree_scatter,
+                                    gather=self.config.ftree_gather))
         if packed[:fnf].any():
             return None
         parts = merge_fold16(packed[fnf:].reshape(2, -1, 5, 2))

@@ -450,9 +450,10 @@ def d_project(mesh, axis, row: int, plane, mat, icnts):
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "wspecs", "node_rows",
-                                   "node_caps", "col_sharded", "domain"))
-def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded, domain,
-            cols, vals):
+                                   "node_caps", "col_sharded", "scatter",
+                                   "gather"))
+def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded,
+            cols, vals, scatter="xla", gather="xla"):
     """Whole factorized queries SPMD (ops/factorized.py:run_ftree_wave
     in distributed mode): every node column arrives as this chip's ROW
     SHARD (DeviceCatalog.row_shard layout — no replica exists anywhere),
@@ -497,8 +498,9 @@ def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded, domain,
                 return gid < rows
 
             shards.append((slicer, valid))
-        flags, outs = run_ftree_wave(wspecs, cols, vals, domain,
-                                     axis=axis, shards=tuple(shards))
+        flags, outs = run_ftree_wave(wspecs, cols, vals,
+                                     axis=axis, shards=tuple(shards),
+                                     scatter=scatter, gather=gather)
         segs = []
         if flags:
             segs.append(jnp.stack(flags).astype(jnp.int32))

@@ -41,6 +41,9 @@ def main() -> None:
                    help="mesh size (0 = all available)")
     p.add_argument("--skew-rows", type=int, default=1 << 16,
                    help="rows for the skew-aware distributed config")
+    p.add_argument("--impl", default="both",
+                   help="table kernels for the small-dim star join: "
+                        "xla | auto | both (before/after delta)")
     p.add_argument("--skew", action="store_true",
                    help="also run the distributed skew-aware config "
                         "(opt-in: this environment's remote AOT compiler "
@@ -129,6 +132,34 @@ def main() -> None:
         "factorized": eng.batch_executor.counters["ftree_queries"] > 0,
         "value": round((nf + 2 * n_keys) / dt), "unit": "tuples/s",
         "seconds": round(dt, 4), "sums": out[0][:60]}))
+
+    # --- config: SMALL-DIMENSION star join (1K-row dimensions, the
+    # common star-schema shape): per-edge table widths put every message
+    # table at <= 1024 bins, engaging the one-hot MXU gather and Pallas
+    # one-hot scatter fast paths (ops/tables.py; measured 2.7-9x the
+    # XLA engines at these widths). --impl forces a path for the delta. ---
+    nk_small = 1 << 10
+    fact_s = Relation([rng.integers(0, nk_small, nf).astype(np.uint64),
+                       rng.integers(0, nk_small, nf).astype(np.uint64),
+                       rng.integers(0, 1000, nf).astype(np.uint64)])
+    dims_s = [Relation([np.arange(nk_small, dtype=np.uint64),
+                        rng.integers(0, 1000, nk_small).astype(np.uint64)])
+              for _ in range(2)]
+    for impl in (["xla", "auto"] if args.impl == "both" else [args.impl]):
+        eng_s = Engine([fact_s] + dims_s,
+                       EngineConfig(ftree_scatter=impl, ftree_gather=impl))
+        eng_s.run_workload([[q]])          # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            out = eng_s.run_workload([[q]])
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": "star_join_smalldim_engine_tuples_per_s",
+            "fact_rows": nf, "dim_rows": nk_small, "n_joins": 2,
+            "table_impl": impl,
+            "factorized": eng_s.batch_executor.counters["ftree_queries"] > 0,
+            "value": round((nf + 2 * nk_small) / dt), "unit": "tuples/s",
+            "seconds": round(dt, 4), "sums": out[0][:60]}))
 
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:

@@ -1,0 +1,127 @@
+"""Message-table kernel shootout (ops/tables.py): the measurement base
+for the ftree_scatter / ftree_gather "auto" policy.
+
+Measures, at star-join-like shapes, B = zeros(bins).at[idx].add(w) as
+  * xla    — the scatter engine (r2 baseline: ~110 M updates/s)
+  * sorted — carrying sort + wrapped-cumsum boundary diffs (scatter-free)
+  * onehot — Pallas one-hot accumulation (weighted radix histogram)
+and g = B[keys] as
+  * xla    — the gather engine (~9 ns/elem fixed)
+  * onehot — MXU limb-matmul lookup
+
+Every timing runs in degraded transport mode (see bench_kernels.py: the
+axon tunnel lies to block_until_ready before a process's first
+readback) and verifies exactness against the XLA reference first.
+
+Usage: python scripts/bench_tables.py [--log-rows 24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+_SYNC_FLOOR = 0.0
+
+
+def _enter_degraded_mode():
+    global _SYNC_FLOOR
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    np.asarray(jnp.zeros(1))
+    g = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(1, jnp.int32)
+    floors = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(g(x))
+        floors.append(time.time() - t0)
+    _SYNC_FLOOR = min(floors)
+
+
+def _time(f, *args, iters=5):
+    """Per-call seconds minus the sync floor; None when the measurement
+    collapses below the floor (the op is cheaper than one sync — report
+    that honestly instead of a fictitious rate)."""
+    import jax
+    r = f(*args)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    for _ in range(iters):
+        r = f(*args)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters - _SYNC_FLOOR
+    return dt if dt > 1e-6 else None
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-rows", type=int, default=24)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from radixhashjoin_tpu.ops.tables import (table_gather_onehot,
+                                              weighted_bincount_onehot,
+                                              weighted_bincount_sorted,
+                                              weighted_bincount_xla)
+
+    platform = jax.devices()[0].platform
+    interp = platform != "tpu"
+    _enter_degraded_mode()
+    n = 1 << args.log_rows
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+
+    # ---- scatter shootout ----
+    for log_bins in (9, 10, 11, 12, 16, 21):
+        bins = 1 << log_bins
+        idx = jax.random.randint(k1, (n,), 0, bins, dtype=jnp.int32)
+        # per-bin totals stay < 2**31: avg rows/bin * max weight
+        wmax = max(min((1 << 31) // max(4 * n // bins, 1), 1000), 1)
+        w = jax.random.randint(k2, (n,), 0, wmax, dtype=jnp.int32)
+        fns = {"xla": jax.jit(partial(weighted_bincount_xla, n_bins=bins)),
+               "sorted": jax.jit(partial(weighted_bincount_sorted,
+                                         n_bins=bins))}
+        if bins <= 4096:
+            fns["onehot"] = jax.jit(partial(weighted_bincount_onehot,
+                                            n_bins=bins, interpret=interp))
+        ref = np.asarray(fns["xla"](idx, w))
+        out = {"metric": "weighted_bincount_updates_per_s",
+               "platform": platform, "rows": n, "bins": bins,
+               "max_weight": wmax}
+        for name, f in fns.items():
+            assert (np.asarray(f(idx, w)) == ref).all(), name
+            dt = _time(f, idx, w)
+            out[name] = round(n / dt) if dt else "below_floor"
+            out[f"{name}_s"] = round(dt, 5) if dt else None
+        print(json.dumps(out))
+
+    # ---- gather shootout ----
+    for log_bins in (8, 10, 11, 12):
+        bins = 1 << log_bins
+        table = jax.random.randint(k1, (bins,), 0, 2**31 - 1,
+                                   dtype=jnp.int32)
+        keys = jax.random.randint(k2, (n,), 0, bins, dtype=jnp.int32)
+        f_x = jax.jit(lambda t, k: t[k])
+        f_o = jax.jit(table_gather_onehot)
+        ref = np.asarray(f_x(table, keys))
+        assert (np.asarray(f_o(table, keys)) == ref).all()
+        out = {"metric": "table_gather_elems_per_s", "platform": platform,
+               "rows": n, "bins": bins}
+        for name, f in (("xla", f_x), ("onehot", f_o)):
+            dt = _time(f, table, keys)
+            out[name] = round(n / dt) if dt else "below_floor"
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

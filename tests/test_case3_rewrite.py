@@ -8,7 +8,12 @@ union-find over (slot, col) value-equivalence classes:
 
   * duplicate edge            -> identity, dropped
   * shared-column parallel    -> same-slot selection (join-born)
-  * composite-key cycle       -> fall back to the materializing path
+  * parallel edge, 4 columns  -> FUSE into the existing edge as a
+                                 composite key (shared pair dictionary,
+                                 DeviceCatalog.edge_key) — unless it is
+                                 trailing (the step-pair-set NULL rule
+                                 has no tree encoding there): fall back
+  * transitive composite cycle-> fall back to the materializing path
 
 and ops/factorized.py gates NULL for a TRAILING selection from the
 pre-selection rows (support-intersection test for join-born ones). Every
@@ -126,9 +131,11 @@ def test_mid_sequence_join_born_sel():
     assert out == "2 2"       # only row0 (col0==col1==1), C matches twice
 
 
-def test_composite_cycle_falls_back_exact():
-    # two parallel edges with all-distinct columns need a composite key:
-    # the materializing path must run and still match the oracle
+def test_trailing_composite_cycle_falls_back_exact():
+    # a parallel edge over 4 distinct columns arriving as the LAST join:
+    # fusing it would replace the reference's step-pair-set NULL rule
+    # with root emptiness (the sums-0-not-NULL case), so the planner
+    # must take the materializing path and still match the oracle
     A = _u64([1, 2, 3], [4, 5, 6])
     B = _u64([1, 2, 9], [4, 5, 7])
     q = Query([0, 1],
@@ -136,6 +143,60 @@ def test_composite_cycle_falls_back_exact():
               [], [Projection(0, 0), Projection(1, 1)])
     out = _run([A, B], q, expect_ftree=False)
     assert out == "3 9"
+
+
+def test_composite_cycle_fuses_when_not_trailing():
+    # the same parallel edge followed by another join FUSES into a
+    # composite key (DeviceCatalog.edge_key pair dictionary) and the
+    # whole query stays factorized
+    A = _u64([1, 2, 3, 2], [4, 5, 6, 5])
+    B = _u64([1, 2, 9, 2], [4, 5, 7, 8])
+    C = _u64([10, 20, 30, 20])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1),
+               JoinPred(1, 0, 2, 0)],
+              [], [Projection(0, 0), Projection(1, 1), Projection(2, 0)])
+    _run([A, B, C], q, expect_ftree=True)
+
+
+def test_composite_fused_edge_empties_to_null():
+    # the fused edge's pair set is empty (no row satisfies BOTH
+    # equalities) while each single predicate alone would match: the
+    # later join sees empty input -> NULL, exactly like the oracle
+    A = _u64([1, 2], [5, 6])
+    B = _u64([1, 2], [6, 5])          # col0 matches, col1 never pairs
+    C = _u64([1, 2])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1),
+               JoinPred(1, 0, 2, 0)],
+              [], [Projection(2, 0)])
+    out = _run([A, B, C], q, expect_ftree=True)
+    assert out == "NULL"
+
+
+def test_triple_composite_key_fuses():
+    # three parallel edges -> a 3-column composite key (recursive fold)
+    A = _u64([1, 1, 2], [3, 4, 4], [7, 8, 8], [100, 200, 300])
+    B = _u64([1, 1, 2], [4, 3, 4], [8, 9, 8], [10, 20, 30])
+    C = _u64([10, 20, 30])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1),
+               JoinPred(0, 2, 1, 2), JoinPred(1, 3, 2, 0)],
+              [], [Projection(0, 3), Projection(2, 0)])
+    _run([A, B, C], q, expect_ftree=True)
+
+
+def test_transitive_composite_cycle_falls_back():
+    # the cycle closes between slots connected only THROUGH a third
+    # node: no direct edge to fuse into -> materializing path
+    A = _u64([1, 2], [5, 6])
+    B = _u64([1, 2], [7, 8])
+    C = _u64([7, 8], [5, 6])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 1, 2, 0),
+               JoinPred(2, 1, 0, 1)],
+              [], [Projection(0, 0)])
+    _run([A, B, C], q, expect_ftree=False)
 
 
 def test_identity_after_pending_trailing_sel_falls_back():

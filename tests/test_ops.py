@@ -113,3 +113,48 @@ def test_sum_masks_padding():
     col = jnp.asarray(np.arange(4096, dtype=np.int32))
     rows = jnp.asarray(pad_to(np.array([1, 2, 3], dtype=np.int32), 1024, 999))
     assert sum_column_over_rows(col, rows, jnp.int32(3)) == 6
+
+
+# ---- message-table kernels (ops/tables.py) ----
+
+def test_weighted_bincount_variants_match_xla():
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.tables import (weighted_bincount_onehot,
+                                              weighted_bincount_sorted,
+                                              weighted_bincount_xla)
+    rng = np.random.default_rng(5)
+    n, n_bins = 5000, 700
+    # include out-of-range sentinels (the wave's masked rows)
+    idxs = jnp.asarray(np.where(rng.random(n) < 0.1, n_bins,
+                                rng.integers(0, n_bins, n)).astype(np.int32))
+    w = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
+    ref = np.asarray(weighted_bincount_xla(idxs, w, n_bins))
+    assert (np.asarray(weighted_bincount_sorted(idxs, w, n_bins))
+            == ref).all()
+    assert (np.asarray(weighted_bincount_onehot(idxs, w, n_bins,
+                                                interpret=True))
+            == ref).all()
+
+
+def test_weighted_bincount_sorted_exact_past_int32_total():
+    """The wrapped-cumsum trick: the GLOBAL total overflows int32 but
+    every per-bin sum stays < 2**31, so boundary diffs remain exact."""
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.tables import weighted_bincount_sorted
+    n_bins = 8
+    n = 1 << 16
+    idxs = jnp.asarray(np.arange(n, dtype=np.int32) % n_bins)
+    w = jnp.full(n, 1 << 16, jnp.int32)     # total = 2**32 (wraps), per
+    out = np.asarray(weighted_bincount_sorted(idxs, w, n_bins))
+    assert (out == (n // n_bins) * (1 << 16)).all()   # bin sum = 2**29
+
+
+def test_table_gather_onehot_exact_full_int32():
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.tables import table_gather_onehot
+    rng = np.random.default_rng(6)
+    table = jnp.asarray(rng.integers(0, 2**31 - 1, 512, dtype=np.int64)
+                        .astype(np.int32))
+    keys = jnp.asarray(rng.integers(0, 512, 4096).astype(np.int32))
+    got = np.asarray(table_gather_onehot(table, keys))
+    assert (got == np.asarray(table)[np.asarray(keys)]).all()
