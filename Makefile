@@ -2,7 +2,7 @@
 PY ?= python
 SMALL ?= /root/reference/small
 
-.PHONY: all native test test-all run bench clean
+.PHONY: all native test test-all test-slow run bench clean
 
 all: native
 
@@ -13,9 +13,16 @@ native:
 test:
 	$(PY) -m pytest tests/ -q
 
-# the whole suite, including slow golden/SPMD tests (CI target)
+# the whole suite, including slow golden/SPMD tests (CI target).
+# Budget: ~9 min with a warm .jax_cache (fast ~3 min + slow ~6 min,
+# measured r3); the persistent XLA compilation cache keeps repeat runs
+# compile-free — wipe .jax_cache to measure a cold CI worker.
 test-all:
 	$(PY) -m pytest tests/ -q -m ""
+
+# just the slow tier (golden end-to-end + SPMD mesh tests)
+test-slow:
+	$(PY) -m pytest tests/ -q -m slow
 
 # the reference's golden benchmark contract: init+work on stdin, diff stdout
 run: native

@@ -44,11 +44,18 @@ def main() -> None:
     p.add_argument("--impl", default="both",
                    help="table kernels for the small-dim star join: "
                         "xla | auto | both (before/after delta)")
+    p.add_argument("--zipf-engine", action="store_true",
+                   help="BASELINE config 4: Zipf(1.1) join + SUM through "
+                        "the engine, single chip")
+    p.add_argument("--zipf-rows", type=int, default=27,
+                   help="log2 fact rows for --zipf-engine (default 134M)")
     p.add_argument("--skew", action="store_true",
                    help="also run the distributed skew-aware config "
-                        "(opt-in: this environment's remote AOT compiler "
-                        "takes minutes-to-hours on the SPMD program; the "
-                        "8-virtual-device CPU tests cover it functionally)")
+                        "(opt-in: the TPU compiler takes ~60-90 s per "
+                        "8-chip SPMD program — measured 2026-08-19 via "
+                        "AOT topology compile: dist_join_skewaware 64 s, "
+                        "d_case1_probe 87 s — and the 8-virtual-device "
+                        "CPU tests already cover it functionally)")
     args = p.parse_args()
 
     import jax
@@ -160,6 +167,45 @@ def main() -> None:
             "factorized": eng_s.batch_executor.counters["ftree_queries"] > 0,
             "value": round((nf + 2 * nk_small) / dt), "unit": "tuples/s",
             "seconds": round(dt, 4), "sums": out[0][:60]}))
+
+    # --- BASELINE config 4: >= 100M-row Zipf(1.1)-skewed join + exact
+    # u64 SUM aggregate THROUGH THE ENGINE, single chip (opt-in: heavy
+    # host-side data generation). The single-chip backends are
+    # skew-proof by construction (sort/dense-address grouping — no
+    # partition can blow up), so no mesh is needed to absorb the skew. ---
+    if args.zipf_engine:
+        nz = 1 << args.zipf_rows
+        s, n_keys_z = 1.1, 1 << 20
+        # inverse-CDF power law over [0, n_keys): rank ~ u^(-1/(s-1))
+        u = rng.random(nz) + 1e-12
+        # clip in float BEFORE the cast (u^-10 overflows int64)
+        zk = np.minimum(u ** (-1.0 / (s - 1.0)),
+                        n_keys_z - 1).astype(np.uint64)
+        top = np.bincount(zk[: 1 << 22].astype(np.int64),
+                          minlength=1).max() / min(nz, 1 << 22)
+        factz = Relation([zk, rng.integers(0, 1000, nz).astype(np.uint64)])
+        dimz = Relation([np.arange(n_keys_z, dtype=np.uint64),
+                         rng.integers(0, 1000, n_keys_z).astype(np.uint64)])
+        qz = Query([0, 1], [JoinPred(0, 0, 1, 0)],
+                   [FilterPred(1, 1, "<", 900)],
+                   [Projection(0, 1), Projection(1, 1)])
+        sums_seen = []
+        for fact_mode in (True, False):
+            engz = Engine([factz, dimz], EngineConfig(factorized=fact_mode))
+            sums_seen.append(engz.run_workload([[qz]]))  # compile + warm
+            # the two independent execution paths must agree exactly
+            assert sums_seen[0] == sums_seen[-1], sums_seen
+            t0 = time.time()
+            for _ in range(iters):
+                outz = engz.run_workload([[qz]])
+            dt = (time.time() - t0) / iters
+            print(json.dumps({
+                "metric": "zipf_join_engine_tuples_per_s",
+                "rows": nz, "zipf_s": s, "n_keys": n_keys_z,
+                "hot_key_share": round(float(top), 4),
+                "factorized": fact_mode,
+                "value": round((nz + n_keys_z) / dt), "unit": "tuples/s",
+                "seconds": round(dt, 4), "sums": outz[0][:60]}))
 
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:

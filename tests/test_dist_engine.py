@@ -107,6 +107,27 @@ def test_dist_ftree_corners():
     assert ex.counters["ftree_queries"] == len(queries)
 
 
+def test_dist_composite_key_fusion():
+    """A non-trailing parallel edge fuses into a composite key
+    (DeviceCatalog.edge_key pair dictionary) — the synthesized key
+    columns must row-shard and psum exactly like native columns."""
+    rng = np.random.default_rng(77)
+    n = 300
+    a0 = rng.integers(0, 20, n).astype(np.uint64)
+    a1 = rng.integers(0, 20, n).astype(np.uint64)
+    A = Relation([a0, a1, rng.integers(0, 100, n).astype(np.uint64)])
+    B = Relation([a0.copy(), a1.copy(),
+                  rng.integers(0, 100, n).astype(np.uint64)])
+    rng.shuffle(B.values[0])           # decorrelate but keep the domain
+    C = Relation([np.arange(100, dtype=np.uint64)])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1),
+               JoinPred(1, 2, 2, 0)],
+              [], [Projection(0, 2), Projection(2, 0)])
+    ex = _check([A, B, C], [q])
+    assert ex.counters["ftree_queries"] == 1
+
+
 def test_dist_engine_facade(small_catalog, small_batches, golden_lines):
     # Engine(config.mesh_devices) routes through the distributed executor;
     # batch 1 of the golden workload exact-matches
