@@ -16,17 +16,22 @@ bandwidth-bound ops. Three alternatives, each exact:
   table with NO scatter at all. Exact: true per-bin sums < 2**31 (the
   planner's overflow caps), and differences of a mod-2**32 prefix sum
   recover any sum < 2**31 exactly.
-* `weighted_bincount_onehot` — Pallas TPU kernel, the weighted
-  generalization of ops/pallas_radix.py's one-hot histogram (867 M
-  tuples/s at 256 bins): each 2048-value block accumulates
-  sum(weight * (idx == bin)) over bin tiles in VMEM. Compute scales
-  linearly with n_bins, so this wins only for narrow tables.
-* `table_gather_onehot` — MXU lookup: g = onehot(keys) @ stack(B_lo,
-  B_hi) in float32, two 16-bit limbs recombined on the VPU. Exact: each
-  limb < 2**16 is exactly representable in f32, each one-hot row has
-  exactly one nonzero, and f32 addition of one nonzero term is exact.
-  Compute scales with n_bins — small-table fast path (the r2 microbench
-  measured 2.4x the gather engine at <= 1K entries).
+* `weighted_bincount_mxu` — MXU build: B_k = onehot(idx)^T @ 7-bit
+  weight limbs in int8 with s32 accumulation (limbs 0..127 cannot
+  sign-wrap, and per-bin limb sums inherit the caller's < 2**31 cap),
+  recombined with shifts. Measured 24 G updates/s at 1024 bins (178x
+  the scatter engine), 1.1 G at 2048; compute scales with n_bins.
+* `weighted_bincount_onehot` — Pallas VPU kernel, the weighted
+  generalization of ops/pallas_radix.py's one-hot histogram: each
+  2048-value block accumulates sum(weight * (idx == bin)) over bin
+  tiles in VMEM. Measured 1.3 G updates/s at 512 bins but 50x slower
+  than the MXU build at 1024 — kept as a verified alternative.
+* `table_gather_onehot` — MXU lookup: g = onehot(keys) @ four 8-bit
+  limbs in int8 with s32 accumulation. Exact: each one-hot row has
+  exactly one nonzero, so every output column is a single (possibly
+  sign-wrapped) limb, recovered by masking to 8 bits. Compute scales
+  with n_bins — small-table fast path, measured 32x the gather engine
+  at 2048 bins.
 
 `scatter_table` / `table_gather` dispatch by an `impl` string; "auto"
 picks from the committed measurements (scripts/bench_tables.py) by
@@ -47,18 +52,26 @@ from jax.experimental.pallas import tpu as pltpu
 # ---- tuned thresholds (measured on v5e 2026-08-19, 16.7M rows,
 # scripts/bench_tables.py; committed in EVIDENCE_r03.md) ----
 #
-#   scatter  512 bins: onehot 1273 M/s vs xla 136 M/s  (9.4x)
-#           1024 bins: onehot  339 M/s vs xla 137 M/s  (2.5x)
-#           2048 bins: onehot  134 M/s vs xla 191 M/s  (xla wins)
-#           sorted: 58-77 M/s everywhere (the carrying sort + boundary
+#   scatter (int8 MXU; the Pallas VPU one-hot peaked at 1.27 G/s at 512
+#   bins and 423 M/s at 1024 — superseded):
+#            512 bins: mxu below floor      vs xla 132 M/s
+#           1024 bins: mxu 24412 M/s        vs xla 132 M/s  (178x)
+#           2048 bins: mxu  1139 M/s        vs xla 180 M/s  (6.3x)
+#           4096 bins: mxu   394 M/s        vs xla 182 M/s  (2.2x)
+#           8192 bins: mxu   165 M/s        vs xla 181 M/s  (xla wins)
+#           sorted: 58-81 M/s everywhere (the carrying sort + boundary
 #           searchsorted never beats the ~190 M/s scatter engine; kept
 #           as a verified alternative)
-#   gather   256 bins: onehot below measurement floor vs xla 120 M/s
-#           1024 bins: onehot 1317 M/s vs xla 191 M/s  (6.9x)
-#           4096 bins: onehot  138 M/s vs xla 141 M/s  (breakeven)
+#   gather (int8 4-limb MXU; the f32-HIGHEST 2-limb variant it replaced
+#   measured 4x slower):
+#           1024 bins: onehot below floor    vs xla 193 M/s
+#           2048 bins: onehot 4582 M/s       vs xla 142 M/s  (32x)
+#           4096 bins: onehot  481 M/s       vs xla 142 M/s  (3.4x)
+#           8192 bins: onehot  173 M/s       vs xla 141 M/s  (1.2x)
+#          16384 bins: onehot   71 M/s       vs xla 141 M/s  (xla wins)
 
-ONEHOT_SCATTER_MAX_BINS = 1024
-ONEHOT_GATHER_MAX_BINS = 2048
+MXU_SCATTER_MAX_BINS = 4096
+ONEHOT_GATHER_MAX_BINS = 8192
 # enough rows to amortize kernel setup; below this the XLA engines are
 # already sub-millisecond and dispatch overhead dominates either way
 ONEHOT_MIN_ROWS = 1 << 16
@@ -78,6 +91,28 @@ def _on_tpu() -> bool:
 def weighted_bincount_xla(idxs, weights, n_bins: int):
     """Reference implementation: XLA scatter-add, out-of-range dropped."""
     return jnp.zeros(n_bins, jnp.int32).at[idxs].add(weights, mode="drop")
+
+
+def weighted_bincount_mxu(idxs, weights, n_bins: int):
+    """MXU weighted bincount: B_k = onehot(idx)^T @ (7-bit weight limbs)
+    in int8 with int32 accumulation, recombined with shifts.
+
+    Exact: 7-bit limbs (0..127) never sign-wrap in int8; products are
+    0 or the limb; per-bin limb sums are bounded by the caller's
+    per-bin-total < 2**31 contract (sum w = sum_k 2^(7k) sum w7_k with
+    nonnegative terms), and the final shift-accumulate recombines below
+    2**31. Out-of-range idxs match no bin and drop. Measured 178x the
+    XLA scatter engine at 1024 bins (24 G updates/s, 16.7M rows)."""
+    limbs = jnp.stack([(weights >> (7 * k)) & 0x7F for k in range(5)],
+                      axis=1).astype(jnp.int8)
+    onehot = (idxs[:, None] == jnp.arange(n_bins, dtype=idxs.dtype)
+              ).astype(jnp.int8)
+    bk = jax.lax.dot_general(onehot, limbs, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    out = bk[:, 0]
+    for k in range(1, 5):
+        out = out + (bk[:, k] << (7 * k))
+    return out
 
 
 def weighted_bincount_sorted(idxs, weights, n_bins: int):
@@ -156,9 +191,11 @@ def weighted_bincount_onehot(idxs, weights, n_bins: int,
 def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
     """Dispatch B = zeros(n_bins).at[idxs].add(weights, mode='drop')."""
     if impl == "auto":
-        impl = ("onehot" if _on_tpu()
-                and n_bins <= ONEHOT_SCATTER_MAX_BINS
+        impl = ("mxu" if _on_tpu()
+                and n_bins <= MXU_SCATTER_MAX_BINS
                 and idxs.shape[0] >= ONEHOT_MIN_ROWS else "xla")
+    if impl == "mxu":
+        return weighted_bincount_mxu(idxs, weights, n_bins)
     if impl == "sorted":
         return weighted_bincount_sorted(idxs, weights, n_bins)
     if impl == "onehot":
@@ -170,23 +207,25 @@ def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
 # ---- gather (table lookup) ----
 
 def table_gather_onehot(table, keys):
-    """Exact MXU table lookup: one-hot(keys) @ [lo16, hi16] limbs in f32.
+    """Exact MXU table lookup: one-hot(keys) @ four 8-bit limbs in int8
+    with int32 accumulation.
 
-    Each limb < 2**16 is exact in f32; a one-hot row has exactly one
-    nonzero, so the matmul performs no inexact additions. Wins only for
-    narrow tables (compute scales with table length)."""
+    The int8 cast wraps limb values 128..255 negative, but a one-hot
+    row has exactly ONE nonzero, so each output column is a single
+    signed limb — masking it back to 8 bits (& 0xFF on the s32 result)
+    recovers the true limb exactly. int8 MXU density makes this 4x the
+    f32-HIGHEST two-limb variant it replaced (measured: 4.6 G elem/s at
+    2048 bins vs the gather engine's ~140 M). Wins only for narrow
+    tables (compute scales with table length)."""
     n_bins = table.shape[0]
-    limbs = jnp.stack([(table & 0xFFFF).astype(jnp.float32),
-                       (table >> 16).astype(jnp.float32)], axis=1)
+    limbs = jnp.stack([(table >> s) & 0xFF for s in (0, 8, 16, 24)],
+                      axis=1).astype(jnp.int8)
     onehot = (keys[:, None] == jnp.arange(n_bins, dtype=keys.dtype)
-              ).astype(jnp.float32)
-    # HIGHEST precision: TPU default demotes f32 matmuls to bf16 passes,
-    # which rounds limbs >= 2**8 — exactness requires true f32 products
+              ).astype(jnp.int8)
     g = jax.lax.dot_general(onehot, limbs, (((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-    return (g[:, 0].astype(jnp.int32)
-            + (g[:, 1].astype(jnp.int32) << 16))
+                            preferred_element_type=jnp.int32)
+    return ((g[:, 0] & 0xFF) + ((g[:, 1] & 0xFF) << 8)
+            + ((g[:, 2] & 0xFF) << 16) + ((g[:, 3] & 0xFF) << 24))
 
 
 def table_gather(table, keys, impl: str = "xla"):

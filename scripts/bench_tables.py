@@ -70,6 +70,7 @@ def main() -> None:
     import numpy as np
     from functools import partial
     from radixhashjoin_tpu.ops.tables import (table_gather_onehot,
+                                              weighted_bincount_mxu,
                                               weighted_bincount_onehot,
                                               weighted_bincount_sorted,
                                               weighted_bincount_xla)
@@ -91,7 +92,10 @@ def main() -> None:
         fns = {"xla": jax.jit(partial(weighted_bincount_xla, n_bins=bins)),
                "sorted": jax.jit(partial(weighted_bincount_sorted,
                                          n_bins=bins))}
-        if bins <= 4096:
+        if bins <= 8192:
+            fns["mxu"] = jax.jit(partial(weighted_bincount_mxu,
+                                         n_bins=bins))
+        if bins <= 4096 and not interp:
             fns["onehot"] = jax.jit(partial(weighted_bincount_onehot,
                                             n_bins=bins, interpret=interp))
         ref = np.asarray(fns["xla"](idx, w))

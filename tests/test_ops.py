@@ -119,17 +119,21 @@ def test_sum_masks_padding():
 
 def test_weighted_bincount_variants_match_xla():
     import jax.numpy as jnp
-    from radixhashjoin_tpu.ops.tables import (weighted_bincount_onehot,
+    from radixhashjoin_tpu.ops.tables import (weighted_bincount_mxu,
+                                              weighted_bincount_onehot,
                                               weighted_bincount_sorted,
                                               weighted_bincount_xla)
     rng = np.random.default_rng(5)
     n, n_bins = 5000, 700
-    # include out-of-range sentinels (the wave's masked rows)
+    # include out-of-range sentinels (the wave's masked rows) and
+    # weights past every int8-limb boundary (sign-wrap coverage)
     idxs = jnp.asarray(np.where(rng.random(n) < 0.1, n_bins,
                                 rng.integers(0, n_bins, n)).astype(np.int32))
-    w = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
+    w = jnp.asarray(rng.integers(0, 2**20, n).astype(np.int32))
     ref = np.asarray(weighted_bincount_xla(idxs, w, n_bins))
     assert (np.asarray(weighted_bincount_sorted(idxs, w, n_bins))
+            == ref).all()
+    assert (np.asarray(weighted_bincount_mxu(idxs, w, n_bins))
             == ref).all()
     assert (np.asarray(weighted_bincount_onehot(idxs, w, n_bins,
                                                 interpret=True))
