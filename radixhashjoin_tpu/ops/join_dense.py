@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .join import _total_or_overflow
+from .tables import scatter_table, table_gather2
 
 # NOTE (measured, v5e, 2026-08-17): a scatter-claim construction of
 # `order` — round r scatter-min-elects the rank-r element of each value,
@@ -51,14 +52,17 @@ def dense_probe(lvals, lcount, rvals, rcount, domain: int):
     li = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
     ri = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
     rv = jnp.where(ri < rcount, rvals, np.int32(domain))      # dead -> drop
-    t_cnt = jnp.zeros(domain, jnp.int32).at[rv].add(1, mode="drop")
+    # table build + double lookup ride the int8 MXU paths when the
+    # domain is narrow and the sides are large (ops/tables.py "auto" —
+    # measured 32x the gather engine / 178x the scatter engine)
+    t_cnt = scatter_table(rv, jnp.ones(R, jnp.int32), domain, "auto")
     t_lo = jnp.cumsum(t_cnt) - t_cnt
     # stable value-sort of the right side; dead lanes (= domain) sort last
     order = jnp.argsort(rv).astype(jnp.int32)
     lv = jnp.where(li < lcount, lvals, np.int32(-1))
     lv_safe = jnp.clip(lv, 0, domain - 1)
-    counts = jnp.where(lv >= 0, t_cnt[lv_safe], 0)
-    lo = t_lo[lv_safe]
+    cnt_g, lo = table_gather2(t_cnt, t_lo, lv_safe, "auto")
+    counts = jnp.where(lv >= 0, cnt_g, 0)
     cum = jnp.cumsum(counts)
     return order, lo, cum - counts, cum, _total_or_overflow(cum)
 
@@ -88,6 +92,7 @@ def dense_any_common(avals, bvals, count, domain: int):
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     live = idx < count
     bv = jnp.where(live, bvals, np.int32(domain))
-    t = jnp.zeros(domain, jnp.int32).at[bv].add(1, mode="drop")
+    t = scatter_table(bv, jnp.ones(n, jnp.int32), domain, "auto")
     av = jnp.clip(jnp.where(live, avals, np.int32(0)), 0, domain - 1)
-    return jnp.any((t[av] > 0) & live)
+    from .tables import table_gather
+    return jnp.any((table_gather(t, av, "auto") > 0) & live)

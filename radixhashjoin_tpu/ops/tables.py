@@ -228,13 +228,45 @@ def table_gather_onehot(table, keys):
             + ((g[:, 2] & 0xFF) << 16) + ((g[:, 3] & 0xFF) << 24))
 
 
+def _gather_auto(n_bins: int, rows: int) -> bool:
+    return (_on_tpu() and n_bins <= ONEHOT_GATHER_MAX_BINS
+            and rows >= ONEHOT_MIN_ROWS)
+
+
+def table_gather2(tableA, tableB, keys, impl: str = "xla"):
+    """Fused double lookup: (tableA[keys], tableB[keys]) — on the MXU
+    path one one-hot feeds ONE int8 matmul with 8 limb columns (both
+    tables), halving the dominant cost vs two separate lookups. The
+    dense join backend's probe (count table + offset table) is the
+    consumer."""
+    if impl == "auto":
+        impl = ("onehot" if _gather_auto(tableA.shape[0], keys.shape[0])
+                else "xla")
+    if impl != "onehot":
+        return tableA[keys], tableB[keys]
+    n_bins = tableA.shape[0]
+    limbs = jnp.stack([(t >> s) & 0xFF
+                       for t in (tableA, tableB)
+                       for s in (0, 8, 16, 24)], axis=1).astype(jnp.int8)
+    onehot = (keys[:, None] == jnp.arange(n_bins, dtype=keys.dtype)
+              ).astype(jnp.int8)
+    g = jax.lax.dot_general(onehot, limbs, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+
+    def recomb(o):
+        return ((g[:, o] & 0xFF) + ((g[:, o + 1] & 0xFF) << 8)
+                + ((g[:, o + 2] & 0xFF) << 16)
+                + ((g[:, o + 3] & 0xFF) << 24))
+
+    return recomb(0), recomb(4)
+
+
 def table_gather(table, keys, impl: str = "xla"):
     """Dispatch g = table[keys] (keys always in range by the factorized
     planner's width construction)."""
     if impl == "auto":
-        impl = ("onehot" if _on_tpu()
-                and table.shape[0] <= ONEHOT_GATHER_MAX_BINS
-                and keys.shape[0] >= ONEHOT_MIN_ROWS else "xla")
+        impl = ("onehot" if _gather_auto(table.shape[0], keys.shape[0])
+                else "xla")
     if impl == "onehot":
         return table_gather_onehot(table, keys)
     return table[keys]

@@ -106,6 +106,27 @@ def main() -> None:
         "value": round((n + n_keys) / dt), "unit": "tuples/s",
         "seconds": round(dt, 4)}))
 
+    # --- config: NARROW-DOMAIN probe (keys < 4096): the dense backend's
+    # table build + double lookup ride the int8 MXU paths here
+    # (ops/tables.py auto; wide domains keep the scatter/gather engines) ---
+    nd = 1 << 12
+    lv_n = jax.random.randint(k1, (n,), 0, nd, dtype=jnp.int32)
+    rv_n = jax.random.permutation(k3, nd).astype(jnp.int32)  # unique dim
+    rcnt_n = jnp.int32(nd)
+    r = dense_probe(lv_n, cnt, rv_n, rcnt_n, nd)   # compile + warm
+    total = int(r[4])
+    t0 = time.time()
+    for _ in range(iters):
+        r = dense_probe(lv_n, cnt, rv_n, rcnt_n, nd)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "dense_probe_narrow_domain_tuples_per_s",
+        "fact_rows": n, "dim_rows": nd, "domain": nd,
+        "output_pairs": total,
+        "value": round((n + nd) / dt), "unit": "tuples/s",
+        "seconds": round(dt, 4)}))
+
     # --- config: star-schema 3-way join through the ENGINE's factorized
     # path (fact JOIN dim1 JOIN dim2, filtered dim, 3 exact u64 SUMs):
     # zero materialization — the 16M-row fact never expands, messages
