@@ -62,7 +62,8 @@ class DistExecutor:
         from ..models.batch import BatchExecutor
         self._planner = BatchExecutor(relations, config,
                                       catalog=self.catalog)
-        self.counters = {"ftree_queries": 0, "exchange_queries": 0}
+        self.counters = {"ftree_queries": 0, "exchange_queries": 0,
+                         "ftree_waves": 0}
 
     # per-shard padded capacity for a slot — MUST equal the relation's
     # column shard capacity so live-set rowid ownership aligns with the
@@ -80,30 +81,56 @@ class DistExecutor:
     def _execute_ftree(self, q: Query, cached) -> Optional[List[int]]:
         """Distributed factorized tree: row-sharded messages, one psum
         per level, one readback for flags + psum'd sum folds."""
-        fplan, fcols, fvals, fsum, fnf, fnodes = cached
-        wspecs = tuple((op[1], op[2], op[3]) for op in fplan)
-        node_rows = tuple(
-            tuple(self.relations[q.slots[s]].num_tuples for s in nd)
-            for nd in fnodes)
-        node_caps = tuple(
-            tuple(self.catalog.shard_cap(q.slots[s]) for s in nd)
-            for nd in fnodes)
+        return self._execute_ftree_wave([(q, cached)])[0]
+
+    def _execute_ftree_wave(self, items) -> List[Optional[List[int]]]:
+        """MANY factorized queries in ONE SPMD program (the distributed
+        twin of models/batch.py's ftree_wave): every tree level's message
+        scatters/gathers merge across queries, ONE dispatch and ONE
+        readback per wave — on a real pod that is one collective schedule
+        and one host sync for the whole batch instead of one per query.
+        Supersedes the reference's per-query job loop (main.cpp:68-82)
+        at pod scale."""
+        self.counters["ftree_waves"] += 1
+        wspecs, node_rows, node_caps = [], [], []
+        cols, vals = [], []
+        for q, cached in items:
+            fplan, fcols, fvals, _fsum, _fnf, fnodes = cached
+            for op, nd in zip(fplan, fnodes):
+                wspecs.append((op[1], op[2], op[3]))
+                node_rows.append(tuple(
+                    self.relations[q.slots[s]].num_tuples for s in nd))
+                node_caps.append(tuple(
+                    self.catalog.shard_cap(q.slots[s]) for s in nd))
+            cols.extend(fcols)
+            vals.extend(fvals)
         col_sharded = tuple(not c.sharding.is_fully_replicated
-                            for c in fcols)
-        packed = np.asarray(d_ftree(self.mesh, self.axis, wspecs,
-                                    node_rows, node_caps, col_sharded,
-                                    tuple(fcols), tuple(fvals),
+                            for c in cols)
+        packed = np.asarray(d_ftree(self.mesh, self.axis, tuple(wspecs),
+                                    tuple(node_rows), tuple(node_caps),
+                                    col_sharded, tuple(cols), tuple(vals),
                                     scatter=self.config.ftree_scatter,
                                     gather=self.config.ftree_gather))
-        if packed[:fnf].any():
-            return None
-        parts = merge_fold16(packed[fnf:].reshape(2, -1, 5, 2))
-        sums = [0] * len(q.projections)
-        for (pi, kind, shift), fold in zip(fsum, parts):
-            sums[pi] = (sums[pi] +
-                        (combine_weighted_partials(fold) << shift)
-                        ) & _U64_MASK
-        return sums
+        total_nf = sum(cached[4] for _, cached in items)
+        parts_all = merge_fold16(packed[total_nf:].reshape(2, -1, 5, 2))
+        out: List[Optional[List[int]]] = []
+        fo = oo = 0
+        for q, cached in items:
+            _fp, _fc, _fv, fsum, fnf, _fn = cached
+            flags = packed[fo:fo + fnf]
+            parts = parts_all[oo:oo + len(fsum)]
+            fo += fnf
+            oo += len(fsum)
+            if flags.any():
+                out.append(None)
+                continue
+            sums = [0] * len(q.projections)
+            for (pi, _kind, shift), fold in zip(fsum, parts):
+                sums[pi] = (sums[pi] +
+                            (combine_weighted_partials(fold) << shift)
+                            ) & _U64_MASK
+            out.append(sums)
+        return out
 
     def execute(self, q: Query) -> Optional[List[int]]:
         cat = self.catalog
@@ -210,8 +237,26 @@ class DistExecutor:
         return sums
 
     def run_batch(self, batch: Sequence[Query]) -> List[str]:
-        return [format_result(self.execute(q), len(q.projections))
-                for q in batch]
+        """One batch: all factorizable queries merge into ONE d_ftree
+        wave (one dispatch + one readback); the rest run through the
+        exchange pipeline individually."""
+        results: List[Optional[List[int]]] = [None] * len(batch)
+        wave = []
+        for i, q in enumerate(batch):
+            cached = None
+            if self.config.factorized and self.config.ftree_wave and q.joins:
+                cached = self._planner._ftree_plan_for(q)
+            if cached is not None:
+                self.counters["ftree_queries"] += 1
+                wave.append((i, q, cached))
+            else:
+                results[i] = self.execute(q)
+        if wave:
+            sums = self._execute_ftree_wave([(q, c) for _, q, c in wave])
+            for (i, _, _), s in zip(wave, sums):
+                results[i] = s
+        return [format_result(r, len(q.projections))
+                for r, q in zip(results, batch)]
 
     def run_workload(self, batches) -> List[str]:
         out: List[str] = []

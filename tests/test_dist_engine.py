@@ -128,6 +128,27 @@ def test_dist_composite_key_fusion():
     assert ex.counters["ftree_queries"] == 1
 
 
+def test_dist_wave_one_dispatch_per_batch():
+    """run_batch merges every factorizable query of a batch into ONE
+    d_ftree wave program (one dispatch + one readback on a real pod);
+    non-factorizable queries still run through the exchange pipeline.
+    Results must equal the oracle's exactly, including a NULL row."""
+    rng = np.random.default_rng(500)
+    rels = _random_catalog(rng)
+    batch = [_random_query(rng, rels) for _ in range(5)]
+    # a self-join-free two-slot tree query guaranteed factorizable
+    batch.append(Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
+                       [Projection(0, 0), Projection(1, 0)]))
+    oracle = OracleExecutor(rels)
+    ex = DistExecutor(rels, EngineConfig(), n_devices=8)
+    got = ex.run_batch(batch)
+    exp = [format_result(oracle.execute(q), len(q.projections))
+           for q in batch]
+    assert got == exp
+    assert ex.counters["ftree_queries"] >= 1
+    assert ex.counters["ftree_waves"] == 1
+
+
 def test_dist_engine_facade(small_catalog, small_batches, golden_lines):
     # Engine(config.mesh_devices) routes through the distributed executor;
     # batch 1 of the golden workload exact-matches
