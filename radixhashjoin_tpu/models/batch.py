@@ -508,6 +508,7 @@ class BatchExecutor:
                 # Only slots joined by a direct edge qualify — a
                 # transitive cycle would need path rewriting: fall back.
                 fused = False
+                fused_i = -1
                 for i, (p, pcs, c, ccs) in enumerate(comp["edges"]):
                     if {p, c} == {s1, s2}:
                         if p == s1:
@@ -517,10 +518,11 @@ class BatchExecutor:
                         comp["edges"][i] = (p, pcs + (add_p,),
                                             c, ccs + (add_c,))
                         fused = True
+                        fused_i = i
                         break
                 if not fused:
                     return None      # transitive composite cycle
-                comp.setdefault("fused_at", []).append(at)
+                comp.setdefault("fused_at", []).append((at, fused_i))
                 union(a, b)
                 continue
             if not j1 and not j2:
@@ -543,12 +545,22 @@ class BatchExecutor:
         # one via the trailing-selection machinery (pre-selection NULL
         # gating) — more than one would need progressive re-masking
         ne = len(comp["edges"])
-        # a TRAILING fusion (no edge appended after it) would replace the
-        # reference's step-pair-set NULL rule with root emptiness — the
-        # one case where they differ (sums-0-not-NULL): fall back
+        # a TRAILING fusion (no edge appended after it) carries the
+        # reference's step-pair-set NULL rule, which differs from the
+        # fused tree's root emptiness (sums-0-not-NULL): plan a boolean
+        # companion spec of the PRE-fusion tree with a cross-node
+        # support-intersection gate (ops/factorized.py trail 4-tuple).
+        # At most ONE, and nothing else at the same position (the sels
+        # list loses the relative order of same-position predicates,
+        # which decides the gate's pre-state): else fall back.
         for w in [comp] + wiped:
-            if any(a == len(w["edges"]) for a in w.get("fused_at", ())):
+            tf = [ei for (a, ei) in w.get("fused_at", ())
+                  if a == len(w["edges"])]
+            if len(tf) > 1:
                 return None
+            if tf and any(s[3] == len(w["edges"]) for s in w["sels"]):
+                return None
+            w["trail_fuse"] = tf[0] if tf else None
         trailing = [s for s in comp["sels"] if s[3] == ne]
         if len(trailing) > 1:
             return None
@@ -612,13 +624,32 @@ class BatchExecutor:
                 return False
         return True
 
-    def _plan_ftree(self, q: Query, comp, sum_map, with_projs: bool):
+    def _plan_ftree(self, q: Query, comp, sum_map, with_projs: bool,
+                    variant=None):
         """Emit one ("ftree", spec, n_cols, n_vals) op (+ cols/vals) for
         a comp. The final comp (with_projs) also carries every filtered
         slot OUTSIDE the tree as a standalone flag-only node — a filter
         emptying ANY slot NULLs the query (Query.cpp:95-146). Column and
-        value order MUST match ops/factorized.py's consumption order."""
+        value order MUST match ops/factorized.py's consumption order.
+
+        variant (comps with a TRAILING fusion, comp["trail_fuse"]):
+          "fused": the tree as fused — sums are exact on it, but its
+                   root-emptiness flag is SUPPRESSED (a trailing case-3
+                   may empty the multiset without NULLing);
+          "gate":  the PRE-fusion tree (the trailing pair stripped from
+                   the fused edge), flag-only, with a cross-node
+                   support-intersection gate deciding NULL via the
+                   reference's step pair-set rule (oracle.py:133-142,
+                   /root/reference/Query.cpp:188-191)."""
         cat = self.catalog
+        edges_src = comp["edges"]
+        gate_pair = None
+        if variant == "gate":
+            gi = comp["trail_fuse"]
+            gp, gpcs, gc, gccs = edges_src[gi]
+            edges_src = list(edges_src)
+            edges_src[gi] = (gp, gpcs[:-1], gc, gccs[:-1])
+            gate_pair = (gp, gpcs[-1], gc, gccs[-1])
         nodes = list(comp["nodes"])
         if with_projs:
             nodes += sorted({f.slot for f in q.filters}
@@ -656,14 +687,22 @@ class BatchExecutor:
 
         trail = comp.get("trail")
         trail_spec = None
-        if trail is not None:
+        if gate_pair is not None:
+            gp, gpc, gc, gcc = gate_pair
+            trail_spec = (idx_of[gp], True,
+                          _width(cat.code_max(q.slots[gp], gpc),
+                                 cat.code_max(q.slots[gc], gcc)),
+                          idx_of[gc])
+            cols.append(cat.col(q.slots[gp], gpc))
+            cols.append(cat.col(q.slots[gc], gcc))
+        elif trail is not None:
             ts, tc1, tc2, tborn = trail
             trail_spec = (idx_of[ts], tborn,
                           _width(cat.code_max(q.slots[ts], tc1),
                                  cat.code_max(q.slots[ts], tc2)))
             cols.append(cat.col(q.slots[ts], tc1))
             cols.append(cat.col(q.slots[ts], tc2))
-        edges_bu = list(reversed(comp["edges"]))
+        edges_bu = list(reversed(edges_src))
         # device key columns per edge (composite edges synthesize shared
         # pair-code columns; DeviceCatalog.edge_key)
         edge_keys = [cat.edge_key(q.slots[p], pcs, q.slots[c], ccs)
@@ -673,19 +712,25 @@ class BatchExecutor:
             proj_nodes = {idx_of[p.slot] for p in q.projections
                           if p.slot in comp["set"]}
         if trail_spec is not None:
-            # the trailing NULL gate needs alpha at the trailing node
+            # the trailing NULL gate needs alpha at the trailing node(s)
             proj_nodes = proj_nodes | {trail_spec[0]}
+            if len(trail_spec) == 4:
+                proj_nodes = proj_nodes | {trail_spec[3]}
         # needs_down: the child's subtree contains a projection node
         in_subtree = {i: {i} for i in range(len(nodes))}
-        for (p, _pcs, c, _ccs) in reversed(comp["edges"]):
+        for (p, _pcs, c, _ccs) in reversed(edges_src):
             in_subtree[idx_of[p]] |= in_subtree[idx_of[c]]
-        has_children = {idx_of[p] for (p, *_r) in comp["edges"]}
+        has_children = {idx_of[p] for (p, *_r) in edges_src}
         spec_edges = []
         for (p, pcs, c, ccs), (pk, ck, cmax) in zip(edges_bu, edge_keys):
             pi, ci_ = idx_of[p], idx_of[c]
+            # a same-slot trailing node can't be pre (its msg_mask rides
+            # the scatter); a cross-node gate leaves messages unmasked,
+            # so pre stays safe at its nodes
             pre = (ci_ not in has_children and not filts_by[ci_]
                    and not sels_by[ci_]
-                   and (trail_spec is None or ci_ != trail_spec[0]))
+                   and (trail_spec is None or len(trail_spec) == 4
+                        or ci_ != trail_spec[0]))
             needs_down = bool(in_subtree[ci_] & proj_nodes)
             spec_edges.append((pi, ci_, pre, needs_down, _width(cmax)))
             cols.append(pk)
@@ -709,11 +754,18 @@ class BatchExecutor:
                     cols.append(plane)
                     sum_map.append((idx, "weighted", sh))
         flag_nodes = tuple(i for i in range(len(nodes)) if filt_ops[i])
+        root = idx_of[comp["nodes"][0]]
+        n_flags = len(flag_nodes) + 1
+        if variant == "fused":
+            # NULL is decided by the companion gate spec: suppress the
+            # root M-emptiness flag (the trailing fusion may empty the
+            # multiset without NULLing — sums-0-not-NULL)
+            root = -1
+            n_flags = len(flag_nodes)
         spec = (tuple(filt_ops),
                 tuple(len(sels_by[i]) for i in range(len(nodes))),
                 tuple(spec_edges), flag_nodes,
-                idx_of[comp["nodes"][0]], tuple(projs), trail_spec)
-        n_flags = len(flag_nodes) + 1
+                root, tuple(projs), trail_spec)
         return (("ftree", spec, len(cols), len(vals)), cols, vals,
                 n_flags, tuple(nodes))
 
@@ -741,21 +793,29 @@ class BatchExecutor:
                 if self._ftree_caps(q, comp, proj_slots):
                     fplan, fcols, fvals, fsum, fnf = [], [], [], [], 0
                     fnodes = []
-                    for w in wiped:
-                        op, c, v, nf, nd = self._plan_ftree(q, w, fsum,
-                                                            False)
+
+                    def emit(w, with_projs, variant=None):
+                        nonlocal fnf
+                        op, c, v, nf, nd = self._plan_ftree(
+                            q, w, fsum, with_projs, variant)
                         fplan.append(op)
                         fcols.extend(c)
                         fvals.extend(v)
                         fnf += nf
                         fnodes.append(nd)
-                    op, c, v, nf, nd = self._plan_ftree(q, comp, fsum,
-                                                        True)
-                    fplan.append(op)
-                    fcols.extend(c)
-                    fvals.extend(v)
-                    fnf += nf
-                    fnodes.append(nd)
+
+                    for w in wiped:
+                        emit(w, False, "gate" if w["trail_fuse"]
+                             is not None else None)
+                    if comp["trail_fuse"] is not None:
+                        # fused tree carries the sums (root flag
+                        # suppressed); the boolean companion carries the
+                        # trailing pair-set NULL gate on the pre-fusion
+                        # tree
+                        emit(comp, True, "fused")
+                        emit(comp, False, "gate")
+                    else:
+                        emit(comp, True)
                     cached = (fplan, fcols, fvals, fsum, fnf,
                               tuple(fnodes))
             self._ftree_plans[key] = cached

@@ -85,6 +85,16 @@ different relations share one compiled program.
                 the edge's pair set is empty (support-intersection
                 test); native => NULL iff the pre-selection multiset is
                 empty. Oracle semantics: oracle.py:121-142.
+                OR (node_a, True, width, node_b) — a CROSS-NODE pair
+                gate for a TRAILING composite-key fusion (a parallel
+                case-3 edge with no join after it): tsel_a lives on
+                node_a, tsel_b on node_b, and NULL iff no value of
+                tsel_a over node_a's participating rows equals any value
+                of tsel_b over node_b's participating rows (the
+                reference's step pair-set rule, oracle.py:133-142,
+                evaluated on the PRE-fusion tree). Such a spec is
+                flag-only; its fused twin (same tree with the pair fused
+                into the edge key, root = -1) carries the sums.
 
 Column/value consumption order (must match the planner):
   cols: 1. per node in node order: its filter columns, then its
@@ -111,7 +121,7 @@ class _Tree:
     """Per-spec traced state inside a wave."""
 
     __slots__ = ("spec", "edges", "flag_nodes", "root", "projs",
-                 "mask", "msg_mask", "tnode", "tborn", "twidth",
+                 "mask", "msg_mask", "tnode", "tnode_b", "tborn", "twidth",
                  "tsel_a", "tsel_b",
                  "pkey", "ckey", "pre", "children", "boolean",
                  "beta", "contrib", "alpha", "planes",
@@ -191,8 +201,15 @@ def _parse_spec(spec, cols, vals, shard=None):
     # boolean; the part/hit gate only tests >0, so clamped messages stay
     # correct there.
     t.msg_mask = list(mask)
-    t.tnode = t.tsel_a = t.tsel_b = t.tborn = t.twidth = None
-    if trail is not None:
+    t.tnode = t.tnode_b = t.tsel_a = t.tsel_b = t.tborn = t.twidth = None
+    if trail is not None and len(trail) == 4:
+        # cross-node pair gate (trailing composite-key fusion): the
+        # predicate itself is enforced by the fused twin spec — this
+        # spec only decides NULL, so messages stay unmasked here
+        t.tnode, t.tborn, t.twidth, t.tnode_b = trail
+        t.tsel_a = node_col_raw(t.tnode)
+        t.tsel_b = node_col_raw(t.tnode_b)
+    elif trail is not None:
         t.tnode, t.tborn, t.twidth = trail
         t.tsel_a = node_col_raw(t.tnode)
         t.tsel_b = node_col_raw(t.tnode)
@@ -420,14 +437,22 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             # the trailing node participates in the joined multiset
             # before the trailing selection (alpha/beta are messages
             # from the REST of the tree — they never include this node's
-            # own masks).
-            part = jnp.ones(t.tsel_a.shape[0], bool)
-            if mask[t.tnode] is not None:
-                part &= mask[t.tnode]
-            if t.beta[t.tnode] is not None:
-                part &= t.beta[t.tnode] > 0
-            if t.alpha[t.tnode] is not None:
-                part &= t.alpha[t.tnode] > 0
+            # own masks). For a cross-node gate (trailing fusion) the
+            # two sides participate independently: this spec's tree is
+            # the PRE-fusion tree, so each side's alpha/beta already
+            # exclude the trailing equality.
+            def _participates(node, n_rows):
+                p = jnp.ones(n_rows, bool)
+                if mask[node] is not None:
+                    p &= mask[node]
+                if t.beta[node] is not None:
+                    p &= t.beta[node] > 0
+                if t.alpha[node] is not None:
+                    p &= t.alpha[node] > 0
+                return p
+            part = _participates(t.tnode, t.tsel_a.shape[0])
+            part_b = (part if t.tnode_b is None
+                      else _participates(t.tnode_b, t.tsel_b.shape[0]))
             if t.tborn:
                 # join-born (rewritten case-3 edge): NULL iff its PAIR
                 # SET is empty (oracle.py:133-142) <=> no participating
@@ -442,7 +467,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                     part.astype(jnp.int32), mode="drop")
                 if axis is not None:
                     supp = jax.lax.psum(supp, axis)
-                flags.append(_none_anywhere((supp[t.tsel_b] > 0) & part,
+                flags.append(_none_anywhere((supp[t.tsel_b] > 0) & part_b,
                                             axis))
             else:
                 # native same-slot predicate: never NULLs by itself

@@ -10,9 +10,11 @@ union-find over (slot, col) value-equivalence classes:
   * shared-column parallel    -> same-slot selection (join-born)
   * parallel edge, 4 columns  -> FUSE into the existing edge as a
                                  composite key (shared pair dictionary,
-                                 DeviceCatalog.edge_key) — unless it is
-                                 trailing (the step-pair-set NULL rule
-                                 has no tree encoding there): fall back
+                                 DeviceCatalog.edge_key); a TRAILING one
+                                 additionally plans a boolean companion
+                                 spec of the pre-fusion tree whose
+                                 cross-node support-intersection gate
+                                 carries the step-pair-set NULL rule
   * transitive composite cycle-> fall back to the materializing path
 
 and ops/factorized.py gates NULL for a TRAILING selection from the
@@ -131,18 +133,58 @@ def test_mid_sequence_join_born_sel():
     assert out == "2 2"       # only row0 (col0==col1==1), C matches twice
 
 
-def test_trailing_composite_cycle_falls_back_exact():
+def test_trailing_composite_cycle_factorizes_exact():
     # a parallel edge over 4 distinct columns arriving as the LAST join:
-    # fusing it would replace the reference's step-pair-set NULL rule
-    # with root emptiness (the sums-0-not-NULL case), so the planner
-    # must take the materializing path and still match the oracle
+    # the fused tree carries the sums (root flag suppressed) and a
+    # boolean companion spec of the PRE-fusion tree decides NULL via the
+    # cross-node support-intersection gate (the step-pair-set rule,
+    # Query.cpp:188-191)
     A = _u64([1, 2, 3], [4, 5, 6])
     B = _u64([1, 2, 9], [4, 5, 7])
     q = Query([0, 1],
               [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1)],
               [], [Projection(0, 0), Projection(1, 1)])
-    out = _run([A, B], q, expect_ftree=False)
+    out = _run([A, B], q, expect_ftree=True)
     assert out == "3 9"
+
+
+def test_trailing_composite_pair_set_nonempty_zeros_not_null():
+    # the fused multiset is EMPTY (no aligned row satisfies both
+    # equalities) but the pair set of the trailing step is NOT (value 20
+    # appears in both col1 sets over the pre-fusion joined rows):
+    # sums are 0, NOT NULL — the case the old planner fell back on
+    A = _u64([1, 2], [10, 20], [5, 6])
+    B = _u64([1, 2], [20, 10], [100, 200])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1)],
+              [], [Projection(0, 2), Projection(1, 2)])
+    out = _run([A, B], q, expect_ftree=True)
+    assert out == "0 0"
+
+
+def test_trailing_composite_pair_set_empty_is_null():
+    # the trailing pair columns share no value over the pre-fusion
+    # joined rows -> the step's pair set is empty -> NULL
+    A = _u64([1, 2], [10, 20], [5, 6])
+    B = _u64([1, 2], [77, 88], [100, 200])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1)],
+              [], [Projection(0, 2), Projection(1, 2)])
+    out = _run([A, B], q, expect_ftree=True)
+    assert out == "NULL NULL"
+
+
+def test_trailing_fusion_with_trailing_selection_falls_back():
+    # a trailing fusion coexisting with a same-position selection loses
+    # the relative predicate order (which decides the gate's pre-state):
+    # the planner must take the materializing path and still match
+    A = _u64([1, 2, 3], [4, 5, 6], [4, 5, 7])
+    B = _u64([1, 2, 9], [4, 5, 7])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1),
+               JoinPred(0, 1, 0, 2)],
+              [], [Projection(0, 0), Projection(1, 1)])
+    _run([A, B], q, expect_ftree=False)
 
 
 def test_composite_cycle_fuses_when_not_trailing():

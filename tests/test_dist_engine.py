@@ -128,6 +128,35 @@ def test_dist_composite_key_fusion():
     assert ex.counters["ftree_queries"] == 1
 
 
+def test_dist_trailing_composite_fusion_gate():
+    """A TRAILING parallel edge factorizes via the fused-spec +
+    boolean-companion pair; the cross-node support-intersection gate
+    must psum across chips (a value can participate on one chip and
+    match on another). Three variants: sums, zeros-not-NULL (pair set
+    non-empty but fused multiset empty), and NULL (pair set empty)."""
+    rng = np.random.default_rng(91)
+    n = 600
+    a0 = rng.integers(0, 30, n).astype(np.uint64)
+    a1 = rng.integers(0, 30, n).astype(np.uint64)
+    A = Relation([a0, a1, rng.integers(0, 100, n).astype(np.uint64)])
+    B_sum = Relation([a0.copy(), a1.copy(),
+                      rng.integers(0, 100, n).astype(np.uint64)])
+    # zeros-not-NULL: shift col1 so no aligned pair matches but the
+    # value domains (and the joined col0 rows) still intersect
+    B_zero = Relation([np.array([0, 1], np.uint64),
+                       np.array([5, 4], np.uint64)])
+    A_zero = Relation([np.array([0, 1], np.uint64),
+                       np.array([4, 5], np.uint64)])
+    B_null = Relation([np.array([0, 1], np.uint64),
+                       np.array([1000, 1001], np.uint64)])
+    rels = [A, B_sum, A_zero, B_zero, B_null]
+    q_tmpl = lambda s1, s2: Query(
+        [s1, s2], [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1)],
+        [], [Projection(0, 0), Projection(1, 1)])
+    ex = _check(rels, [q_tmpl(0, 1), q_tmpl(2, 3), q_tmpl(2, 4)])
+    assert ex.counters["ftree_queries"] == 3
+
+
 def test_dist_wave_one_dispatch_per_batch():
     """run_batch merges every factorizable query of a batch into ONE
     d_ftree wave program (one dispatch + one readback on a real pod);
