@@ -86,6 +86,12 @@ class EngineConfig:
     # of two dividing the shard width; 1 disables chunking.
     exchange_chunks: int = 4
 
+    # Sub-gathers per cross-chip _dist_gather: the (n_chips, m) request
+    # transient shrinks to (n_chips, m/K) and the K request/response
+    # all_to_all chains overlap under async collectives. Skipped below a
+    # 4096-lane floor; 1 disables chunking.
+    gather_chunks: int = 4
+
     # --- factorized message-table kernels (ops/tables.py) ---
     # "xla" (scatter-add / gather engines), "sorted" (carrying sort +
     # boundary diffs, scatter-free), "onehot" (Pallas one-hot scatter /

@@ -176,14 +176,16 @@ class DistExecutor:
                 else:
                     mat, icnts = d_eq_mat(mesh, ax, slot_row[s1],
                                           slot_row[s2], False, colA, colB,
-                                          mat, icnts)
+                                          mat, icnts,
+                                          gchunks=self.config.gather_chunks)
                 continue
 
             j1, j2 = s1 in slot_row, s2 in slot_row
             if j1 and j2:
                 mat, icnts, flag = d_eq_mat(mesh, ax, slot_row[s1],
                                             slot_row[s2], True, colA, colB,
-                                            mat, icnts)
+                                            mat, icnts,
+                                            gchunks=self.config.gather_chunks)
                 flags.append(flag)
                 continue
 
@@ -209,7 +211,8 @@ class DistExecutor:
                     full, fresh, colF, colG = s2, s1, colB, colA
                 (frow_all, order, lo, off, cum, totals,
                  stats) = d_case2_probe(mesh, ax, slot_row[full], colF,
-                                        mat, icnts, colG, *live[fresh])
+                                        mat, icnts, colG, *live[fresh],
+                                        gchunks=self.config.gather_chunks)
                 _, mx = self._probe_stats(stats)
                 if mx == 0:
                     return None
@@ -227,7 +230,8 @@ class DistExecutor:
                 continue
             total = 0
             for plane, shift in cat.proj_planes(q.slots[p.slot], p.col):
-                partials = d_project(mesh, ax, row, plane, mat, icnts)
+                partials = d_project(mesh, ax, row, plane, mat, icnts,
+                                     gchunks=self.config.gather_chunks)
                 total += combine_limb_partials(
                     merge_fold16(np.asarray(partials))) << shift
             sums.append(total & _U64_MASK)

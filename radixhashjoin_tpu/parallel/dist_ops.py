@@ -102,15 +102,39 @@ def _shard_base(col, axis):
     return jax.lax.axis_index(axis) * np.int32(col.shape[0])
 
 
-def _dist_gather(col, idxs, live, axis, n):
+def _dist_gather(col, idxs, live, axis, n, chunks=1):
     """Gather a row-sharded column at GLOBAL rowids owned by ANY chip.
 
     col: this chip's row shard (cap,); global rowid g lives on chip
     g // cap at offset g % cap. idxs (m,): global rowids; live: which
-    lanes are real (dead lanes return garbage). Cost: one stable sort +
-    two all_to_alls + two gathers + one scatter. The request matrix is
-    (n, m) — capacity m per destination, so routing can never overflow
-    regardless of ownership skew.
+    lanes are real (dead lanes return garbage).
+
+    chunks > 1 splits the request vector into K sub-gathers: the (n, m)
+    request-matrix transient (capacity m per destination — can never
+    overflow regardless of ownership skew) shrinks to (n, m/K), and the
+    K independent request/response all_to_all chains give XLA's async
+    collectives compute to overlap with (the same structure as the
+    pipelined case-1 exchange, d_case1_probe). Chunking is skipped below
+    a 4096-lane floor where the extra collectives would just add
+    latency. Exact for any K: each chunk's per-destination capacity is
+    the full chunk length."""
+    m = idxs.shape[0]
+    k = 1
+    while (k * 2 <= chunks and m % (k * 2) == 0
+           and m // (k * 2) >= 4096):
+        k *= 2
+    if k == 1:
+        return _dist_gather_chunk(col, idxs, live, axis, n)
+    c = m // k
+    return jnp.concatenate(
+        [_dist_gather_chunk(col, idxs[i * c:(i + 1) * c],
+                            live[i * c:(i + 1) * c], axis, n)
+         for i in range(k)])
+
+
+def _dist_gather_chunk(col, idxs, live, axis, n):
+    """One request/response exchange of _dist_gather. Cost: one stable
+    sort + two all_to_alls + two gathers + one scatter.
 
     This is the cross-chip half of what the reference gets for free from
     shared memory (every thread dereferences the one mmap copy,
@@ -236,9 +260,10 @@ def d_eq_rows(mesh, axis, colA, colB, rows, counts):
     return body(colA, colB, rows, counts)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "i1", "i2", "null_flag"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "i1", "i2", "null_flag",
+                                   "gchunks"))
 def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
-             colA, colB, mat, icnts):
+             colA, colB, mat, icnts, gchunks: int = 1):
     """Case 3 / joined same-slot: local row filter of the sharded
     intermediate. Intermediate rowids are global (the case-1 exchange
     moved them across chips), so both value gathers route through
@@ -256,8 +281,8 @@ def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < ic
-        v1 = _dist_gather(colA, mat[i1], live, axis, n)
-        v2 = _dist_gather(colB, mat[i2], live, axis, n)
+        v1 = _dist_gather(colA, mat[i1], live, axis, n, gchunks)
+        v2 = _dist_gather(colB, mat[i2], live, axis, n, gchunks)
         m = (v1 == v2) & live
         pos, cnt = compact_mask_positions(m)
         out = jnp.zeros_like(mat).at[:, pos].set(mat, mode="drop")
@@ -373,9 +398,9 @@ def d_case1_expand(mesh, axis, out_cap: int, Lrow, Rrow, order, lo, off,
     return body(Lrow, Rrow, order, lo, off, cum)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "full_row"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "full_row", "gchunks"))
 def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
-                  col_fresh, frows, fcnts):
+                  col_fresh, frows, fcnts, gchunks: int = 1):
     """Case-2 probe: broadcast the (small, filtered) fresh side, probe the
     sharded intermediate locally — the 20M-row side never crosses ICI.
     The probe side's rowids are global, so its values arrive via
@@ -394,7 +419,8 @@ def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < icnts[0]
         lv = jnp.where(live,
-                       _dist_gather(col_full, mat[full_row], live, axis, n),
+                       _dist_gather(col_full, mat[full_row], live, axis, n,
+                                    gchunks),
                        LEFT_SENTINEL)
         capF = frows.shape[0]
         jf = jax.lax.broadcasted_iota(jnp.int32, (capF,), 0)
@@ -424,8 +450,8 @@ def d_case2_expand(mesh, axis, out_cap: int, mat, frow_all, order, lo, off,
     return body(mat, frow_all, order, lo, off, cum)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "row"))
-def d_project(mesh, axis, row: int, plane, mat, icnts):
+@partial(jax.jit, static_argnames=("mesh", "axis", "row", "gchunks"))
+def d_project(mesh, axis, row: int, plane, mat, icnts, gchunks: int = 1):
     """Exact limb partial sums of plane[mat[row]] over every shard's live
     prefix, folded per shard, split into 16-bit halves, then psum'd
     across the mesh — exact to MAX_PSUM_CHIPS (2**15) devices
@@ -443,7 +469,8 @@ def d_project(mesh, axis, row: int, plane, mat, icnts):
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < icnts[0]
         vals = jnp.where(live,
-                         _dist_gather(plane, mat[row], live, axis, n), 0)
+                         _dist_gather(plane, mat[row], live, axis, n,
+                                      gchunks), 0)
         return jax.lax.psum(split_fold16(fold_partials(
             _partials_of_vals(vals))), axis)
     return body(plane, mat, icnts)

@@ -105,3 +105,44 @@ def test_skewaware_uniform_matches_plain(mesh):
     exp_pairs, exp_sum = _oracle(lv, rv)
     assert int(pairs) == exp_pairs and int(ovf) == 0
     assert int(lo) + (int(hi) << 16) == exp_sum
+
+
+def test_dist_gather_chunked_matches_unchunked(mesh):
+    """Chunked _dist_gather (K request/response sub-exchanges bounding
+    the (n, m/K) transient) must return exactly the unchunked answer for
+    skewed ownership (all requests hitting one chip) and random global
+    rowids, above and below the 4096-lane chunking floor."""
+    import jax
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from radixhashjoin_tpu.parallel.dist_ops import _dist_gather
+
+    n = 8
+    cap = 4096
+    rng = np.random.default_rng(3)
+    col = rng.integers(0, 2**31 - 1, n * cap).astype(np.int32)
+
+    @partial(jax.jit, static_argnames=("m", "chunks"))
+    def run(col, idxs, live, m, chunks):
+        @partial(shard_map, mesh=mesh, in_specs=(P("x"), P(), P()),
+                 out_specs=P("x", None))
+        def body(col, idxs, live):
+            return _dist_gather(col, idxs, live, "x", n, chunks)[None]
+        return body(col, idxs, live)
+
+    for m, skewed in ((1 << 15, False), (1 << 15, True), (1 << 10, False)):
+        if skewed:     # every request owned by chip 3: worst-case skew
+            idxs = rng.integers(3 * cap, 4 * cap, m).astype(np.int32)
+        else:
+            idxs = rng.integers(0, n * cap, m).astype(np.int32)
+        live = rng.random(m) < 0.9
+        want = np.where(live, col[idxs], 0)
+        base = np.asarray(run(jnp.asarray(col), jnp.asarray(idxs),
+                              jnp.asarray(live), m, 1))
+        chunk = np.asarray(run(jnp.asarray(col), jnp.asarray(idxs),
+                               jnp.asarray(live), m, 8))
+        for shard in range(n):      # every chip computes the same answer
+            np.testing.assert_array_equal(
+                np.where(live, base[shard], 0), want)
+            np.testing.assert_array_equal(chunk[shard], base[shard])
