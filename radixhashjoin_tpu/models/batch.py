@@ -47,7 +47,8 @@ from ..ops.terminal import (channel_spec,
                             combine_fresh_w_partials,
                             terminal_join_and_project)
 from ..storage import Relation
-from ..utils.limbs import combine_limb_partials, combine_weighted_partials
+from ..utils.limbs import (combine_limb_partials, combine_weighted_partials,
+                           combine_weighted_segments)
 from ..utils.profiling import OpProfiler
 from ..workload import Query
 from .device_catalog import DeviceCatalog
@@ -58,6 +59,7 @@ _U64_MASK = (1 << 64) - 1
 
 _COMBINERS = {"limb": combine_limb_partials,
               "weighted": combine_weighted_partials,
+              "weighted_seg": combine_weighted_segments,
               "fresh": combine_fresh_partials,
               "fresh_w": combine_fresh_w_partials}
 
@@ -752,7 +754,9 @@ class BatchExecutor:
                 for (plane, sh) in planes:
                     projs.append((idx_of[p.slot],))
                     cols.append(plane)
-                    sum_map.append((idx, "weighted", sh))
+                    # ftree folds come from weighted_partials_segments
+                    # (SEG_SHIFT pieces), not weighted_partials
+                    sum_map.append((idx, "weighted_seg", sh))
         flag_nodes = tuple(i for i in range(len(nodes)) if filt_ops[i])
         root = idx_of[comp["nodes"][0]]
         n_flags = len(flag_nodes) + 1

@@ -113,7 +113,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.limbs import WCHUNK, weighted_partials_segments
+from ..utils.limbs import seg_chunk, weighted_partials_segments
 from .filter import OP_EQ, OP_LT
 
 
@@ -488,24 +488,28 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             outs.append((plane, w))
 
     # every projection folds through ONE segment-batched reduction:
-    # segments concatenate with zero-gap padding to WCHUNK multiples
-    # (zero weight == dead row, so gaps contribute nothing)
+    # segments concatenate with zero-gap padding to chunk multiples
+    # (zero weight == dead row, so gaps contribute nothing); the chunk
+    # size adapts to the wave's total rows (utils/limbs.py:seg_chunk) so
+    # the fold stays exact to ~2**30 rows
     parts = ()
     if outs:
-        gap = jnp.zeros(WCHUNK, jnp.int32)
+        cseg = seg_chunk(sum(plane.shape[0] for plane, _ in outs),
+                         len(outs))
+        gap = jnp.zeros(cseg, jnp.int32)
         vs, ws, seg_ids = [], [], []
         for si, (plane, w) in enumerate(outs):
             n = plane.shape[0]
-            pad = -n % WCHUNK
+            pad = -n % cseg
             vs.append(plane)
             ws.append(w)
             if pad:
                 vs.append(gap[:pad])
                 ws.append(gap[:pad])
-            seg_ids.extend([si] * ((n + pad) // WCHUNK))
+            seg_ids.extend([si] * ((n + pad) // cseg))
         parts = (weighted_partials_segments(
             _concat(vs), _concat(ws),
-            np.asarray(seg_ids, np.int32), len(outs)),)
+            np.asarray(seg_ids, np.int32), len(outs), chunk=cseg),)
     return tuple(flags), parts
 
 

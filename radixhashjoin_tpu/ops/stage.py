@@ -343,5 +343,7 @@ def part_shape(kind):
         return (2, 2)
     if kind == "weighted":
         return (5, 2)
+    if kind == "weighted_seg":
+        return (5, 3)
     k, ch = kind
     return (len(ch), 2, 2) if k == "fresh" else (len(ch), 5, 2)

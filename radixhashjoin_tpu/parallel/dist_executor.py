@@ -28,7 +28,7 @@ from ..models.device_catalog import DeviceCatalog
 from ..oracle import format_result
 from ..ops.join import JoinCapacityError
 from ..storage import Relation
-from ..utils.limbs import (combine_limb_partials, combine_weighted_partials,
+from ..utils.limbs import (combine_limb_partials, combine_weighted_segments,
                            merge_fold16)
 from ..workload import Query
 from .dist_ops import (d_case1_expand, d_case1_probe, d_case2_expand,
@@ -112,7 +112,7 @@ class DistExecutor:
                                     scatter=self.config.ftree_scatter,
                                     gather=self.config.ftree_gather))
         total_nf = sum(cached[4] for _, cached in items)
-        parts_all = merge_fold16(packed[total_nf:].reshape(2, -1, 5, 2))
+        parts_all = merge_fold16(packed[total_nf:].reshape(2, -1, 5, 3))
         out: List[Optional[List[int]]] = []
         fo = oo = 0
         for q, cached in items:
@@ -127,7 +127,7 @@ class DistExecutor:
             sums = [0] * len(q.projections)
             for (pi, _kind, shift), fold in zip(fsum, parts):
                 sums[pi] = (sums[pi] +
-                            (combine_weighted_partials(fold) << shift)
+                            (combine_weighted_segments(fold) << shift)
                             ) & _U64_MASK
             out.append(sums)
         return out

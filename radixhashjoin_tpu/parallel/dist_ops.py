@@ -497,7 +497,7 @@ def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded,
                  False if replicated (global bincount tables)
 
     Returns ONE replicated packed int32 vector:
-    [flags | psum'd split-half (2, n_outs, 5, 2) weighted folds,
+    [flags | psum'd split-half (2, n_outs, 5, 3) weighted folds,
     flattened] (halves make the psum exact to MAX_PSUM_CHIPS devices;
     the host merges them with merge_fold16)."""
     n = mesh.shape[axis]

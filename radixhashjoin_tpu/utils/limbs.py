@@ -63,9 +63,12 @@ MAX_PSUM_CHIPS = 1 << 15
 
 
 def split_fold16(x: jax.Array) -> jax.Array:
-    """Device half: nonneg int32 folded partials -> stacked 16-bit halves
+    """Device half: int32 folded partials -> stacked 16-bit halves
     (leading axis 2: [x & 0xFFFF, x >> 16]), safe to psum over up to
-    MAX_PSUM_CHIPS mesh devices."""
+    MAX_PSUM_CHIPS mesh devices. Negative entries (the self-healing
+    2**32-weight channels of weighted_partials_segments may wrap) split
+    exactly too: x == (x >> 16 << 16) + (x & 0xFFFF) in two's
+    complement, the hi half just goes negative."""
     return jnp.stack([x & 0xFFFF, x >> 16])
 
 
@@ -141,24 +144,65 @@ def weighted_partials(vals: jax.Array, counts: jax.Array,
     ]))
 
 
+SEG_SHIFT = 11                  # 3 pieces: [0:11), [11:22), [22:32)
+_SEG_MAX_CHUNK = 1 << 15        # 16-bit-bounded channels stay < 2**31
+_SEG_MAX_CHUNKS = 1 << 20       # 11-bit pieces: 2047 * 2**20 < 2**31
+
+
+def seg_chunk(total_rows: int, n_segs: int) -> int:
+    """Static chunk size for weighted_partials_segments: the smallest
+    power of two C >= WCHUNK such that the padded chunk count
+    (total_rows/C plus at most one gap chunk per segment) stays
+    <= 2**20 — the bound that keeps the low-weight channels' 11-bit
+    piece sums int32-exact (see weighted_partials_segments). C caps at
+    2**15 (chunk partials of 16-bit-bounded channels must stay < 2**31),
+    so exact segment folds cover ~2**35 total rows; beyond that this
+    raises rather than silently wrapping a weight-1 carry."""
+    c = WCHUNK
+    while total_rows // c + n_segs > _SEG_MAX_CHUNKS:
+        c *= 2
+        if c > _SEG_MAX_CHUNK:
+            raise ValueError(
+                f"exact segment folds cap at ~2**35 rows; got "
+                f"{total_rows} across {n_segs} segments")
+    return c
+
+
 def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
-                               seg_ids: np.ndarray,
-                               n_segs: int) -> jax.Array:
+                               seg_ids: np.ndarray, n_segs: int,
+                               chunk: int = WCHUNK) -> jax.Array:
     """Segment-batched weighted_partials: MANY exact u64 weighted sums
-    in one fused channel computation + one chunk reduce + two scatters.
+    in one fused channel computation + one chunk reduce + three
+    scatters.
 
     vals/counts: 1-D int32, the segments' (value, weight) vectors back
-    to back, every segment zero-padded to a WCHUNK multiple (dead rows
-    carry zero weight). seg_ids: per-CHUNK segment index (a small host
-    constant). Returns (n_segs, 5, 2) folded channels — each row
-    combines exactly like one weighted_partials output.
+    to back, every segment zero-padded to a `chunk` multiple (dead rows
+    carry zero weight); pick `chunk` with seg_chunk. seg_ids: per-CHUNK
+    segment index (a small host constant). Returns (n_segs, 5, 3) folded
+    channels decoding with SEG_SHIFT=11 pieces
+    (combine_weighted_segments).
+
+    Exactness at scale (the 2**29-row silent-carry bug this replaces —
+    the old 13-bit two-piece fold was exact only to 2**18 chunks, and
+    wrapped a weight-1 carry silently past 2**28 rows): channels 0-3 are
+    16-bit-bounded per row, so with chunk <= 2**15 their chunk partials
+    stay < 2**31 exact, and the 11-bit piece split keeps every piece sum
+    < 2**31 for <= 2**20 chunks (2047 * 2**20 < 2**31) — exact to ~2**35
+    rows. Channel 4 (p2 = a1*b1, host weight 2**32) MAY wrap int32
+    anywhere: its chunk-partial wraps are multiples of 2**32, which
+    vanish mod 2**64 at weight 2**32, and its (possibly negative)
+    partials still split exactly — two's complement gives
+    ch == (ch & 0x7FF) + ((ch >> 11 & 0x7FF) << 11) + ((ch >> 22) << 22)
+    with the sign carried by the arithmetic-shifted top piece. So no
+    bound is needed there: wraps self-heal in the wrapping-u64 total.
 
     Replaces one ~17-HLO-op reduction PER projection with ~30 ops total
     for a whole wave of queries — on a remote-attached chip each HLO op
     costs ~25 us of scheduling regardless of data size, so op count is
     the wall (EVIDENCE_r02.md "Transport floor")."""
     n = vals.shape[0]
-    assert n % WCHUNK == 0 and n // WCHUNK == len(seg_ids), (n, len(seg_ids))
+    assert n % chunk == 0 and n // chunk == len(seg_ids), (n, len(seg_ids))
+    assert chunk <= _SEG_MAX_CHUNK and len(seg_ids) <= _SEG_MAX_CHUNKS
     a = vals.astype(jnp.uint32)
     b = counts.astype(jnp.uint32)
     a0, a1 = a & 0xFFFF, a >> 16
@@ -168,7 +212,7 @@ def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
     p2 = (a1 * b1).astype(jnp.int32)
 
     def chunks(x):
-        return x.reshape(n // WCHUNK, WCHUNK).sum(axis=1, dtype=jnp.int32)
+        return x.reshape(n // chunk, chunk).sum(axis=1, dtype=jnp.int32)
 
     ch = jnp.stack([chunks((p0 & 0xFFFF).astype(jnp.int32)),
                     chunks((p0 >> 16).astype(jnp.int32)),
@@ -176,10 +220,12 @@ def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
                     chunks((p1 >> 16).astype(jnp.int32)),
                     chunks(p2)])                      # (5, C)
     sid = jnp.asarray(seg_ids)
-    lo = jnp.zeros((5, n_segs), jnp.int32).at[:, sid].add(ch & _FOLD_MASK)
-    hi = jnp.zeros((5, n_segs), jnp.int32).at[:, sid].add(
-        ch >> FOLD_SHIFT)
-    return jnp.stack([lo, hi], axis=-1).transpose(1, 0, 2)  # (n_segs,5,2)
+    zeros = jnp.zeros((5, n_segs), jnp.int32)
+    lo = zeros.at[:, sid].add(ch & 0x7FF)
+    mid = zeros.at[:, sid].add((ch >> SEG_SHIFT) & 0x7FF)
+    hi = zeros.at[:, sid].add(ch >> (2 * SEG_SHIFT))
+    return jnp.stack([lo, mid, hi], axis=-1).transpose(1, 0, 2)
+    # (n_segs, 5, 3)
 
 
 _W_WEIGHTS = (1, 1 << 16, 1 << 16, 1 << 32, 1 << 32)
@@ -192,4 +238,15 @@ def combine_weighted_partials(partials: np.ndarray) -> int:
     total = 0
     for ch, w in zip(p, _W_WEIGHTS):
         total += _rowsum(ch) * w
+    return total & _U64_MASK
+
+
+def combine_weighted_segments(partials: np.ndarray) -> int:
+    """Host half of weighted_partials_segments (one (5, 3) row): like
+    combine_weighted_partials but with SEG_SHIFT=11 3-piece decoding."""
+    p = np.asarray(partials)
+    total = 0
+    for ch, w in zip(p, _W_WEIGHTS):
+        total += (int(ch[..., 0]) + (int(ch[..., 1]) << SEG_SHIFT)
+                  + (int(ch[..., 2]) << (2 * SEG_SHIFT))) * w
     return total & _U64_MASK

@@ -210,12 +210,26 @@ def main() -> None:
         qz = Query([0, 1], [JoinPred(0, 0, 1, 0)],
                    [FilterPred(1, 1, "<", 900)],
                    [Projection(0, 1), Projection(1, 1)])
-        sums_seen = []
-        for fact_mode in (True, False):
+        # independent exact host oracle (numpy u64, wrapping): dim keys
+        # are unique, so fact row r participates iff its key passes the
+        # dim filter; SUM(dim.val) weights each passing key by its fact
+        # multiplicity
+        keep = dimz.values[1] < 900
+        wk = keep[zk.astype(np.int64)]
+        exp0 = int(factz.values[1][wk].sum(dtype=np.uint64))
+        cntz = np.bincount(zk[wk].astype(np.int64),
+                           minlength=n_keys_z).astype(np.uint64)
+        exp1 = int((dimz.values[1] * cntz * keep).sum(dtype=np.uint64))
+        expected = [f"{exp0 % 2**64} {exp1 % 2**64}"]
+        # beyond 2^27 rows the materializing path's (2, rows) pair matrix
+        # + expansion transients stop fitting one chip's HBM: the
+        # factorized path (the engine's real path at scale) runs alone,
+        # with the host oracle carrying the exactness check
+        fact_modes = (True, False) if args.zipf_rows <= 27 else (True,)
+        for fact_mode in fact_modes:
             engz = Engine([factz, dimz], EngineConfig(factorized=fact_mode))
-            sums_seen.append(engz.run_workload([[qz]]))  # compile + warm
-            # the two independent execution paths must agree exactly
-            assert sums_seen[0] == sums_seen[-1], sums_seen
+            got = engz.run_workload([[qz]])              # compile + warm
+            assert got == expected, (got, expected)
             t0 = time.time()
             for _ in range(iters):
                 outz = engz.run_workload([[qz]])

@@ -1,5 +1,8 @@
 """Math/profiling utilities."""
 
+import numpy as np
+import pytest
+
 from radixhashjoin_tpu.utils import (OpProfiler, is_prime, next_pow2,
                                      next_prime, pow2)
 
@@ -74,3 +77,46 @@ def test_profiler_roofline_none_on_cpu():
     assert hbm_bytes_per_s() is None    # tests force the CPU platform
     s = OpStats(calls=1, seconds=1.0, bytes=10**9)
     assert s.roofline_frac is None
+
+
+def test_seg_chunk_scales_with_rows():
+    from radixhashjoin_tpu.utils.limbs import WCHUNK, seg_chunk
+    assert seg_chunk(1 << 20, 100) == WCHUNK
+    # the 11-bit 3-piece fold is exact to 2**20 chunks: the 2**10 chunk
+    # covers 2**30 rows, then the chunk grows, capping at 2**15
+    assert seg_chunk((1 << 30) - (1 << 11), 2) == WCHUNK
+    assert seg_chunk(1 << 30, 2) == 1 << 11
+    assert seg_chunk(1 << 34, 2) == 1 << 15
+    with pytest.raises(ValueError):
+        seg_chunk(1 << 35, 2)           # loud, never silently wrapping
+
+
+def test_weighted_segments_exact_at_large_chunks():
+    """Regression for the 2**29-row silent carry: the old 13-bit fold
+    wrapped a weight-1 carry past 2**18 chunks (observed as a sum short
+    by exactly 2**32 on a 537M-row TPU run). The 16-bit-piece fold with
+    seg_chunk-sized chunks must be exact at the adversarial envelope:
+    16-bit values times 2**31-bound weights (low channels at their
+    bounds) and big*big products (the self-healing 2**32-weight
+    channels wrapping int32 on purpose)."""
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.utils.limbs import (
+        combine_weighted_segments, weighted_partials_segments)
+    rng = np.random.default_rng(12)
+    n, chunk = 1 << 22, 1 << 15          # 128 chunks of the max size
+    cases = [
+        (np.full(n, (1 << 16) - 1, np.int32),
+         np.full(n, (1 << 31) - 1, np.int32)),
+        (np.full(n, (1 << 31) - 1, np.int32),
+         np.full(n, (1 << 31) - 1, np.int32)),
+        (rng.integers(0, 1 << 31, n).astype(np.int32),
+         rng.integers(0, 1 << 31, n).astype(np.int32)),
+    ]
+    for vals, cnts in cases:
+        fold = weighted_partials_segments(
+            jnp.asarray(vals), jnp.asarray(cnts),
+            np.asarray([0] * (n // chunk), np.int32), 1, chunk=chunk)
+        got = combine_weighted_segments(np.asarray(fold)[0])
+        want = int((vals.astype(object) * cnts.astype(object)).sum()
+                   ) % 2**64
+        assert got == want, (got, want)
