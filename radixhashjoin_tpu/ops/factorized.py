@@ -507,6 +507,15 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 vs.append(gap[:pad])
                 ws.append(gap[:pad])
             seg_ids.extend([si] * ((n + pad) // cseg))
+        # a 16-multiple chunk count lets huge waves block the fold
+        # (lax.map path in weighted_partials_segments); zero-row gap
+        # chunks contribute nothing to segment 0
+        extra = -len(seg_ids) % 16
+        if extra:
+            for _ in range(extra):
+                vs.append(gap)
+                ws.append(gap)
+            seg_ids.extend([0] * extra)
         parts = (weighted_partials_segments(
             _concat(vs), _concat(ws),
             np.asarray(seg_ids, np.int32), len(outs), chunk=cseg),)

@@ -147,6 +147,7 @@ def weighted_partials(vals: jax.Array, counts: jax.Array,
 SEG_SHIFT = 11                  # 3 pieces: [0:11), [11:22), [22:32)
 _SEG_MAX_CHUNK = 1 << 15        # 16-bit-bounded channels stay < 2**31
 _SEG_MAX_CHUNKS = 1 << 20       # 11-bit pieces: 2047 * 2**20 < 2**31
+_SEG_BLOCK_ROWS = 1 << 28       # bigger waves block the fold (lax.map)
 
 
 def seg_chunk(total_rows: int, n_segs: int) -> int:
@@ -159,7 +160,8 @@ def seg_chunk(total_rows: int, n_segs: int) -> int:
     so exact segment folds cover ~2**35 total rows; beyond that this
     raises rather than silently wrapping a weight-1 carry."""
     c = WCHUNK
-    while total_rows // c + n_segs > _SEG_MAX_CHUNKS:
+    # + 16: headroom for the caller's block-alignment gap chunks
+    while total_rows // c + n_segs + 16 > _SEG_MAX_CHUNKS:
         c *= 2
         if c > _SEG_MAX_CHUNK:
             raise ValueError(
@@ -203,22 +205,39 @@ def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
     n = vals.shape[0]
     assert n % chunk == 0 and n // chunk == len(seg_ids), (n, len(seg_ids))
     assert chunk <= _SEG_MAX_CHUNK and len(seg_ids) <= _SEG_MAX_CHUNKS
-    a = vals.astype(jnp.uint32)
-    b = counts.astype(jnp.uint32)
-    a0, a1 = a & 0xFFFF, a >> 16
-    b0, b1 = b & 0xFFFF, b >> 16
-    p0 = a0 * b0
-    p1 = a0 * b1 + a1 * b0
-    p2 = (a1 * b1).astype(jnp.int32)
+    m = n // chunk
 
-    def chunks(x):
-        return x.reshape(n // chunk, chunk).sum(axis=1, dtype=jnp.int32)
+    def channel_sums(v, c):
+        a = v.astype(jnp.uint32)
+        b = c.astype(jnp.uint32)
+        a0, a1 = a & 0xFFFF, a >> 16
+        b0, b1 = b & 0xFFFF, b >> 16
+        p0 = a0 * b0
+        p1 = a0 * b1 + a1 * b0
+        p2 = (a1 * b1).astype(jnp.int32)
+        k = v.shape[0] // chunk
 
-    ch = jnp.stack([chunks((p0 & 0xFFFF).astype(jnp.int32)),
-                    chunks((p0 >> 16).astype(jnp.int32)),
-                    chunks((p1 & 0xFFFF).astype(jnp.int32)),
-                    chunks((p1 >> 16).astype(jnp.int32)),
-                    chunks(p2)])                      # (5, C)
+        def chunks(x):
+            return x.reshape(k, chunk).sum(axis=1, dtype=jnp.int32)
+
+        return jnp.stack([chunks((p0 & 0xFFFF).astype(jnp.int32)),
+                          chunks((p0 >> 16).astype(jnp.int32)),
+                          chunks((p1 & 0xFFFF).astype(jnp.int32)),
+                          chunks((p1 >> 16).astype(jnp.int32)),
+                          chunks(p2)])               # (5, k)
+
+    # Huge waves (the 2**30-row config-5 single-chip run) block the
+    # channel computation through lax.map so XLA materializes one
+    # block's product/reshape temps at a time (~1 GB at nb=16) instead
+    # of three full-length 4 GB temps — the difference between fitting
+    # one chip's HBM and not. Small waves keep the single fused pass.
+    nb = 16 if n > _SEG_BLOCK_ROWS and m % 16 == 0 else 1
+    if nb > 1:
+        ch = jax.lax.map(lambda args: channel_sums(*args),
+                         (vals.reshape(nb, -1), counts.reshape(nb, -1)))
+        ch = ch.transpose(1, 0, 2).reshape(5, m)
+    else:
+        ch = channel_sums(vals, counts)              # (5, m)
     sid = jnp.asarray(seg_ids)
     zeros = jnp.zeros((5, n_segs), jnp.int32)
     lo = zeros.at[:, sid].add(ch & 0x7FF)

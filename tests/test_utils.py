@@ -84,7 +84,7 @@ def test_seg_chunk_scales_with_rows():
     assert seg_chunk(1 << 20, 100) == WCHUNK
     # the 11-bit 3-piece fold is exact to 2**20 chunks: the 2**10 chunk
     # covers 2**30 rows, then the chunk grows, capping at 2**15
-    assert seg_chunk((1 << 30) - (1 << 11), 2) == WCHUNK
+    assert seg_chunk((1 << 30) - (1 << 15), 2) == WCHUNK
     assert seg_chunk(1 << 30, 2) == 1 << 11
     assert seg_chunk(1 << 34, 2) == 1 << 15
     with pytest.raises(ValueError):
@@ -120,3 +120,30 @@ def test_weighted_segments_exact_at_large_chunks():
         want = int((vals.astype(object) * cnts.astype(object)).sum()
                    ) % 2**64
         assert got == want, (got, want)
+
+
+def test_weighted_segments_blocked_path_matches(monkeypatch):
+    """The lax.map-blocked fold (HBM-bounded temps for >2**28-row waves)
+    must equal the single-pass fold bit for bit; forced here by
+    shrinking the block threshold."""
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.utils import limbs
+    rng = np.random.default_rng(5)
+    chunk = limbs.WCHUNK
+    n = 64 * chunk                            # 64 chunks: 16-divisible
+    vals = rng.integers(0, 1 << 31, n).astype(np.int32)
+    cnts = rng.integers(0, 1 << 31, n).astype(np.int32)
+    sid = np.asarray([i % 3 for i in range(n // chunk)], np.int32)
+    plain = np.asarray(limbs.weighted_partials_segments(
+        jnp.asarray(vals), jnp.asarray(cnts), sid, 3, chunk=chunk))
+    monkeypatch.setattr(limbs, "_SEG_BLOCK_ROWS", 1024)
+    blocked = np.asarray(limbs.weighted_partials_segments(
+        jnp.asarray(vals), jnp.asarray(cnts), sid, 3, chunk=chunk))
+    np.testing.assert_array_equal(plain, blocked)
+    for s in range(3):
+        got = limbs.combine_weighted_segments(blocked[s])
+        rows = sid == s
+        mask = np.repeat(rows, chunk)
+        want = int((vals[mask].astype(object)
+                    * cnts[mask].astype(object)).sum()) % 2**64
+        assert got == want
