@@ -113,7 +113,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.limbs import seg_chunk, weighted_partials_segments
+from ..utils.limbs import (seg_chunk, weighted_partials_big,
+                           weighted_partials_segments)
+
+_BIG_WAVE_ROWS = 1 << 28
 from .filter import OP_EQ, OP_LT
 
 
@@ -491,11 +494,19 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     # segments concatenate with zero-gap padding to chunk multiples
     # (zero weight == dead row, so gaps contribute nothing); the chunk
     # size adapts to the wave's total rows (utils/limbs.py:seg_chunk) so
-    # the fold stays exact to ~2**30 rows
+    # the fold stays exact to ~2**35 rows. HUGE waves (> 2**28 rows)
+    # skip the concatenation — it would copy 2x the wave's bytes, the
+    # difference between fitting one chip's HBM at 2**30 rows and not —
+    # and fold each projection in place (weighted_partials_big: windowed
+    # fori_loop reads straight out of the operands).
     parts = ()
     if outs:
-        cseg = seg_chunk(sum(plane.shape[0] for plane, _ in outs),
-                         len(outs))
+        total = sum(plane.shape[0] for plane, _ in outs)
+        if total > _BIG_WAVE_ROWS:
+            parts = (jnp.stack([weighted_partials_big(plane, w)
+                                for plane, w in outs]),)
+            return tuple(flags), parts
+        cseg = seg_chunk(total, len(outs))
         gap = jnp.zeros(cseg, jnp.int32)
         vs, ws, seg_ids = [], [], []
         for si, (plane, w) in enumerate(outs):
@@ -507,15 +518,6 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 vs.append(gap[:pad])
                 ws.append(gap[:pad])
             seg_ids.extend([si] * ((n + pad) // cseg))
-        # a 16-multiple chunk count lets huge waves block the fold
-        # (lax.map path in weighted_partials_segments); zero-row gap
-        # chunks contribute nothing to segment 0
-        extra = -len(seg_ids) % 16
-        if extra:
-            for _ in range(extra):
-                vs.append(gap)
-                ws.append(gap)
-            seg_ids.extend([0] * extra)
         parts = (weighted_partials_segments(
             _concat(vs), _concat(ws),
             np.asarray(seg_ids, np.int32), len(outs), chunk=cseg),)

@@ -147,7 +147,6 @@ def weighted_partials(vals: jax.Array, counts: jax.Array,
 SEG_SHIFT = 11                  # 3 pieces: [0:11), [11:22), [22:32)
 _SEG_MAX_CHUNK = 1 << 15        # 16-bit-bounded channels stay < 2**31
 _SEG_MAX_CHUNKS = 1 << 20       # 11-bit pieces: 2047 * 2**20 < 2**31
-_SEG_BLOCK_ROWS = 1 << 28       # bigger waves block the fold (lax.map)
 
 
 def seg_chunk(total_rows: int, n_segs: int) -> int:
@@ -160,7 +159,7 @@ def seg_chunk(total_rows: int, n_segs: int) -> int:
     so exact segment folds cover ~2**35 total rows; beyond that this
     raises rather than silently wrapping a weight-1 carry."""
     c = WCHUNK
-    # + 16: headroom for the caller's block-alignment gap chunks
+    # + 16: headroom for tail/gap chunks
     while total_rows // c + n_segs + 16 > _SEG_MAX_CHUNKS:
         c *= 2
         if c > _SEG_MAX_CHUNK:
@@ -205,39 +204,7 @@ def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
     n = vals.shape[0]
     assert n % chunk == 0 and n // chunk == len(seg_ids), (n, len(seg_ids))
     assert chunk <= _SEG_MAX_CHUNK and len(seg_ids) <= _SEG_MAX_CHUNKS
-    m = n // chunk
-
-    def channel_sums(v, c):
-        a = v.astype(jnp.uint32)
-        b = c.astype(jnp.uint32)
-        a0, a1 = a & 0xFFFF, a >> 16
-        b0, b1 = b & 0xFFFF, b >> 16
-        p0 = a0 * b0
-        p1 = a0 * b1 + a1 * b0
-        p2 = (a1 * b1).astype(jnp.int32)
-        k = v.shape[0] // chunk
-
-        def chunks(x):
-            return x.reshape(k, chunk).sum(axis=1, dtype=jnp.int32)
-
-        return jnp.stack([chunks((p0 & 0xFFFF).astype(jnp.int32)),
-                          chunks((p0 >> 16).astype(jnp.int32)),
-                          chunks((p1 & 0xFFFF).astype(jnp.int32)),
-                          chunks((p1 >> 16).astype(jnp.int32)),
-                          chunks(p2)])               # (5, k)
-
-    # Huge waves (the 2**30-row config-5 single-chip run) block the
-    # channel computation through lax.map so XLA materializes one
-    # block's product/reshape temps at a time (~1 GB at nb=16) instead
-    # of three full-length 4 GB temps — the difference between fitting
-    # one chip's HBM and not. Small waves keep the single fused pass.
-    nb = 16 if n > _SEG_BLOCK_ROWS and m % 16 == 0 else 1
-    if nb > 1:
-        ch = jax.lax.map(lambda args: channel_sums(*args),
-                         (vals.reshape(nb, -1), counts.reshape(nb, -1)))
-        ch = ch.transpose(1, 0, 2).reshape(5, m)
-    else:
-        ch = channel_sums(vals, counts)              # (5, m)
+    ch = _channel_sums(vals, counts, chunk)          # (5, m)
     sid = jnp.asarray(seg_ids)
     zeros = jnp.zeros((5, n_segs), jnp.int32)
     lo = zeros.at[:, sid].add(ch & 0x7FF)
@@ -245,6 +212,89 @@ def weighted_partials_segments(vals: jax.Array, counts: jax.Array,
     hi = zeros.at[:, sid].add(ch >> (2 * SEG_SHIFT))
     return jnp.stack([lo, mid, hi], axis=-1).transpose(1, 0, 2)
     # (n_segs, 5, 3)
+
+
+def _channel_sums(v, c, chunk, live_from=None):
+    """(5, k) int32 chunk sums of the weighted-product channels (the
+    core of weighted_partials_segments; bounds documented there). With
+    live_from, rows at global index < live_from contribute zero (the
+    ragged-tail mask of weighted_partials_big)."""
+    a = v.astype(jnp.uint32)
+    b = c.astype(jnp.uint32)
+    if live_from is not None:
+        idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        b = jnp.where(idx >= live_from, b, 0)
+    a0, a1 = a & 0xFFFF, a >> 16
+    b0, b1 = b & 0xFFFF, b >> 16
+    p0 = a0 * b0
+    p1 = a0 * b1 + a1 * b0
+    p2 = (a1 * b1).astype(jnp.int32)
+    k = v.shape[0] // chunk
+
+    def chunks(x):
+        return x.reshape(k, chunk).sum(axis=1, dtype=jnp.int32)
+
+    return jnp.stack([chunks((p0 & 0xFFFF).astype(jnp.int32)),
+                      chunks((p0 >> 16).astype(jnp.int32)),
+                      chunks((p1 & 0xFFFF).astype(jnp.int32)),
+                      chunks((p1 >> 16).astype(jnp.int32)),
+                      chunks(p2)])                   # (5, k)
+
+
+_BIG_WINDOW_ROWS = 1 << 26
+
+
+def weighted_partials_big(vals: jax.Array, counts: jax.Array) -> jax.Array:
+    """One exact u64 weighted sum over a HUGE vector (any length, up to
+    ~2**35 rows), returning ONE (5, 3) fold decoding exactly like a
+    weighted_partials_segments row.
+
+    Built for waves whose concatenation would not fit HBM (the 2**30-row
+    config-5 single-chip run): no copy of vals/counts is ever made — the
+    chunk-aligned head is folded window by window under a fori_loop
+    (dynamic_slice reads straight out of the operands, ~0.8 GB of temps
+    per 2**26-row window; the final window is clamped to the aligned
+    head and overlapping chunk sums are rewritten idempotently), and a
+    ragged tail (< one chunk) folds from the last chunk-sized slice with
+    the already-covered rows masked to zero weight."""
+    n = vals.shape[0]
+    chunk = seg_chunk(n, 1)
+    n_al = (n // chunk) * chunk
+    m = n_al // chunk
+    if n <= _BIG_WINDOW_ROWS or m == 0:
+        pad = -n % chunk
+        if pad:
+            z = jnp.zeros(pad, jnp.int32)
+            vals = jnp.concatenate([vals, z])
+            counts = jnp.concatenate([counts, z])
+        ch = _channel_sums(vals, counts, chunk)
+    else:
+        w_rows = _BIG_WINDOW_ROWS           # chunk | w_rows (both pow2)
+        nw = -(-n_al // w_rows)
+
+        def body(i, acc):
+            # the last window clamps to the aligned head; its start
+            # stays chunk-aligned (n_al and w_rows are both multiples),
+            # so re-covered chunks rewrite the SAME sums (idempotent)
+            start = jnp.minimum(i * w_rows, n_al - w_rows)
+            v = jax.lax.dynamic_slice(vals, (start,), (w_rows,))
+            c = jax.lax.dynamic_slice(counts, (start,), (w_rows,))
+            ch_w = _channel_sums(v, c, chunk)
+            return jax.lax.dynamic_update_slice(acc, ch_w,
+                                                (0, start // chunk))
+        ch = jax.lax.fori_loop(0, nw, body, jnp.zeros((5, m), jnp.int32))
+        if n_al < n:
+            # ragged tail: fold the LAST chunk of rows, masking the
+            # part already covered by the aligned head
+            v = jax.lax.dynamic_slice(vals, (n - chunk,), (chunk,))
+            c = jax.lax.dynamic_slice(counts, (n - chunk,), (chunk,))
+            tail = _channel_sums(v, c, chunk,
+                                 live_from=np.int32(n_al - (n - chunk)))
+            ch = jnp.concatenate([ch, tail], axis=1)
+    lo = (ch & 0x7FF).sum(axis=1, dtype=jnp.int32)
+    mid = ((ch >> SEG_SHIFT) & 0x7FF).sum(axis=1, dtype=jnp.int32)
+    hi = (ch >> (2 * SEG_SHIFT)).sum(axis=1, dtype=jnp.int32)
+    return jnp.stack([lo, mid, hi], axis=-1)        # (5, 3)
 
 
 _W_WEIGHTS = (1, 1 << 16, 1 << 16, 1 << 32, 1 << 32)

@@ -122,28 +122,26 @@ def test_weighted_segments_exact_at_large_chunks():
         assert got == want, (got, want)
 
 
-def test_weighted_segments_blocked_path_matches(monkeypatch):
-    """The lax.map-blocked fold (HBM-bounded temps for >2**28-row waves)
-    must equal the single-pass fold bit for bit; forced here by
-    shrinking the block threshold."""
+def test_weighted_partials_big_matches_oracle(monkeypatch):
+    """weighted_partials_big (the no-concat fold for >2**28-row waves:
+    windowed fori_loop + clamped final window + masked ragged tail)
+    must be exact for every alignment class; the window is shrunk so
+    the loop, the idempotent overlap rewrite, and the tail mask all
+    execute at test size."""
     import jax.numpy as jnp
     from radixhashjoin_tpu.utils import limbs
-    rng = np.random.default_rng(5)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(6)
     chunk = limbs.WCHUNK
-    n = 64 * chunk                            # 64 chunks: 16-divisible
-    vals = rng.integers(0, 1 << 31, n).astype(np.int32)
-    cnts = rng.integers(0, 1 << 31, n).astype(np.int32)
-    sid = np.asarray([i % 3 for i in range(n // chunk)], np.int32)
-    plain = np.asarray(limbs.weighted_partials_segments(
-        jnp.asarray(vals), jnp.asarray(cnts), sid, 3, chunk=chunk))
-    monkeypatch.setattr(limbs, "_SEG_BLOCK_ROWS", 1024)
-    blocked = np.asarray(limbs.weighted_partials_segments(
-        jnp.asarray(vals), jnp.asarray(cnts), sid, 3, chunk=chunk))
-    np.testing.assert_array_equal(plain, blocked)
-    for s in range(3):
-        got = limbs.combine_weighted_segments(blocked[s])
-        rows = sid == s
-        mask = np.repeat(rows, chunk)
-        want = int((vals[mask].astype(object)
-                    * cnts[mask].astype(object)).sum()) % 2**64
-        assert got == want
+    for n in (512,                       # < one chunk: pad-only path
+              16 * chunk,                # aligned, exact window multiple
+              16 * chunk + 317,          # ragged tail + clamped window
+              13 * chunk + chunk // 2):  # ragged, non-window-multiple
+        vals = rng.integers(0, 1 << 31, n).astype(np.int32)
+        cnts = rng.integers(0, 1 << 31, n).astype(np.int32)
+        fold = np.asarray(limbs.weighted_partials_big(
+            jnp.asarray(vals), jnp.asarray(cnts)))
+        got = limbs.combine_weighted_segments(fold)
+        want = int((vals.astype(object) * cnts.astype(object)).sum()
+                   ) % 2**64
+        assert got == want, (n, got, want)
