@@ -115,9 +115,11 @@ import numpy as np
 
 from ..utils.limbs import (seg_chunk, weighted_partials_big,
                            weighted_partials_segments)
-
-_BIG_WAVE_ROWS = 1 << 28
 from .filter import OP_EQ, OP_LT
+
+# waves/gathers past this many rows switch to the HBM-bounded paths
+# (no-concat per-projection folds; lazy gathers)
+_BIG_WAVE_ROWS = 1 << 28
 
 
 class _Tree:
@@ -276,6 +278,32 @@ def _concat(parts):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
+class _LazyGather:
+    """A HUGE message-table gather kept unmaterialized as (table, keys).
+
+    Materializing table[keys] at 2**30 keys costs 8 GB of HBM — the
+    gather output plus the TPU backend's clamped-index temp — which is
+    the difference between a 1B-row fact table fitting one chip and
+    not. Consumers that only need the per-row weight fold it window by
+    window (utils/limbs.py:weighted_partials_big gathers inside its
+    fori_loop); the root-emptiness flag reduces through a width-sized
+    support table instead (any(T[keys] > 0) == any((T > 0) & in-keys));
+    every other consumer (products, masks, boolean clamps — none of
+    which occur on the hot 1B path) materializes via _mat."""
+
+    __slots__ = ("table", "keys")
+
+    def __init__(self, table, keys):
+        self.table = table
+        self.keys = keys
+
+
+def _mat(x):
+    if isinstance(x, _LazyGather):
+        return x.table.at[x.keys].get(mode="promise_in_bounds")
+    return x
+
+
 def _none_anywhere(x, axis):
     """~any(x), globally across the mesh axis in distributed mode."""
     a = jnp.any(x)
@@ -343,7 +371,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 _p, c, _pre, _nd, _w = t.edges[ei]
                 key = t.ckey[ei]
                 off = np.int32(offs[(id(t), ei)])
-                w = t.beta[c]
+                w = _mat(t.beta[c])
                 mm = t.msg_mask[c]
                 if mm is not None:
                     idxs.append(jnp.where(mm, key + off, sent))
@@ -360,21 +388,27 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         for (t, ei) in pr:
             parts.append(t.pre[ei])           # already-global bincounts
         mega = _concat(parts)
-        gks, meta = [], []
+        gks, meta, resolved = [], [], []
         for (t, ei) in sc + pr:
             gk = t.pkey[ei] + np.int32(offs[(id(t), ei)])
+            if gk.shape[0] > _BIG_WAVE_ROWS and not t.boolean:
+                resolved.append((t, ei, _LazyGather(mega, gk)))
+                continue
             gks.append(gk)
             meta.append((t, ei, gk.shape[0]))
-        g = table_gather(mega, _concat(gks), gather)
+        g = table_gather(mega, _concat(gks), gather) if gks else None
         o = 0
         for (t, ei, n) in meta:
             cv = g[o:o + n]
             o += n
             if t.boolean:
                 cv = (cv > 0).astype(jnp.int32)
+            resolved.append((t, ei, cv))
+        for (t, ei, cv) in resolved:
             t.contrib[ei] = cv
             p = t.edges[ei][0]
-            t.beta[p] = cv if t.beta[p] is None else t.beta[p] * cv
+            t.beta[p] = (cv if t.beta[p] is None
+                         else _mat(t.beta[p]) * _mat(cv))
 
     # ---- down pass, level-batched (top-down depths) ----
     maxd = max((d for t in trees for d in t.by_depth), default=-1)
@@ -391,11 +425,11 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         idxs, ws = [], []
         for (t, ei) in downs:
             p, _c, _pre, _nd, _w = t.edges[ei]
-            w = t.alpha[p]
+            w = _mat(t.alpha[p])
             for ej in t.children[p]:
                 if ej != ei:
-                    w = (t.contrib[ej] if w is None
-                         else w * t.contrib[ej])
+                    w = (_mat(t.contrib[ej]) if w is None
+                         else w * _mat(t.contrib[ej]))
             key = t.pkey[ei]
             off = np.int32(offs[(id(t), ei)])
             mm = t.msg_mask[p]
@@ -413,9 +447,12 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         gks, meta = [], []
         for (t, ei) in downs:
             gk = t.ckey[ei] + np.int32(offs[(id(t), ei)])
+            if gk.shape[0] > _BIG_WAVE_ROWS and not t.boolean:
+                t.alpha[t.edges[ei][1]] = _LazyGather(A, gk)
+                continue
             gks.append(gk)
             meta.append((t, ei, gk.shape[0]))
-        g = table_gather(A, _concat(gks), gather)
+        g = table_gather(A, _concat(gks), gather) if gks else None
         o = 0
         for (t, ei, n) in meta:
             t.alpha[t.edges[ei][1]] = g[o:o + n]
@@ -428,7 +465,20 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         flags.extend(_none_anywhere(mask[i], axis) for i in t.flag_nodes)
         if t.root >= 0 and t.tnode is None:
             br, mr = t.beta[t.root], mask[t.root]
-            if br is None:
+            if isinstance(br, _LazyGather):
+                # any(T[keys] > 0) without materializing the gather:
+                # scatter the (masked) keys into a width-sized support
+                # table, then test any((T > 0) & in-keys) — O(width)
+                # memory instead of O(rows)
+                W = br.table.shape[0]
+                k = (br.keys if mr is None
+                     else jnp.where(mr, br.keys, np.int32(W)))
+                sup = jnp.zeros(W, jnp.int32).at[k].max(1, mode="drop")
+                if axis is not None:
+                    sup = jax.lax.psum(sup, axis)
+                flags.append(_none_anywhere((br.table > 0) & (sup > 0),
+                                            axis))
+            elif br is None:
                 flags.append(jnp.array(False) if mr is None
                              else _none_anywhere(mr, axis))
             elif mr is None:
@@ -449,9 +499,9 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 if mask[node] is not None:
                     p &= mask[node]
                 if t.beta[node] is not None:
-                    p &= t.beta[node] > 0
+                    p &= _mat(t.beta[node]) > 0
                 if t.alpha[node] is not None:
-                    p &= t.alpha[node] > 0
+                    p &= _mat(t.alpha[node]) > 0
                 return p
             part = _participates(t.tnode, t.tsel_a.shape[0])
             part_b = (part if t.tnode_b is None
@@ -480,8 +530,14 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         for (i,), plane in zip(t.projs, t.planes):
             m = t.beta[i]
             if t.alpha[i] is not None:
-                m = t.alpha[i] if m is None else m * t.alpha[i]
+                m = (t.alpha[i] if m is None
+                     else _mat(m) * _mat(t.alpha[i]))
             n = plane.shape[0]
+            if isinstance(m, _LazyGather):
+                if msg_mask[i] is None:
+                    outs.append((plane, m))       # folds window by window
+                    continue
+                m = _mat(m)
             if m is None:
                 w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
                      else msg_mask[i].astype(jnp.int32))
@@ -502,9 +558,14 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     parts = ()
     if outs:
         total = sum(plane.shape[0] for plane, _ in outs)
-        if total > _BIG_WAVE_ROWS:
-            parts = (jnp.stack([weighted_partials_big(plane, w)
-                                for plane, w in outs]),)
+        if total > _BIG_WAVE_ROWS or any(
+                isinstance(w, _LazyGather) for _, w in outs):
+            parts = (jnp.stack(
+                [weighted_partials_big(plane, weight_table=w.table,
+                                       weight_keys=w.keys)
+                 if isinstance(w, _LazyGather)
+                 else weighted_partials_big(plane, w)
+                 for plane, w in outs]),)
             return tuple(flags), parts
         cseg = seg_chunk(total, len(outs))
         gap = jnp.zeros(cseg, jnp.int32)

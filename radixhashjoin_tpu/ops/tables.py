@@ -263,10 +263,12 @@ def table_gather2(tableA, tableB, keys, impl: str = "xla"):
 
 def table_gather(table, keys, impl: str = "xla"):
     """Dispatch g = table[keys] (keys always in range by the factorized
-    planner's width construction)."""
+    planner's width construction — promise_in_bounds skips XLA's index
+    clamp, which otherwise materializes a full keys-sized temp: 4 GB of
+    HBM at a 2**30-row fact table)."""
     if impl == "auto":
         impl = ("onehot" if _gather_auto(table.shape[0], keys.shape[0])
                 else "xla")
     if impl == "onehot":
         return table_gather_onehot(table, keys)
-    return table[keys]
+    return table.at[keys].get(mode="promise_in_bounds")

@@ -244,7 +244,9 @@ def _channel_sums(v, c, chunk, live_from=None):
 _BIG_WINDOW_ROWS = 1 << 26
 
 
-def weighted_partials_big(vals: jax.Array, counts: jax.Array) -> jax.Array:
+def weighted_partials_big(vals: jax.Array, counts=None, *,
+                          weight_table=None,
+                          weight_keys=None) -> jax.Array:
     """One exact u64 weighted sum over a HUGE vector (any length, up to
     ~2**35 rows), returning ONE (5, 3) fold decoding exactly like a
     weighted_partials_segments row.
@@ -256,21 +258,35 @@ def weighted_partials_big(vals: jax.Array, counts: jax.Array) -> jax.Array:
     per 2**26-row window; the final window is clamped to the aligned
     head and overlapping chunk sums are rewritten idempotently), and a
     ragged tail (< one chunk) folds from the last chunk-sized slice with
-    the already-covered rows masked to zero weight."""
+    the already-covered rows masked to zero weight.
+
+    Pass EITHER counts (materialized weights) OR (weight_table,
+    weight_keys): the latter gathers weight_table[weight_keys] window
+    by window INSIDE the loop, so neither the gather output nor the TPU
+    backend's clamped-index temp (each keys-length — 4 GB at 2**30
+    rows) ever materializes full length."""
+    lazy = counts is None
+    assert lazy == (weight_table is not None)
+
+    def weights_of(idx_vec):
+        return weight_table.at[idx_vec].get(mode="promise_in_bounds")
+
     n = vals.shape[0]
     chunk = seg_chunk(n, 1)
     n_al = (n // chunk) * chunk
     m = n_al // chunk
     if n <= _BIG_WINDOW_ROWS or m == 0:
+        c_full = weights_of(weight_keys) if lazy else counts
         pad = -n % chunk
         if pad:
             z = jnp.zeros(pad, jnp.int32)
             vals = jnp.concatenate([vals, z])
-            counts = jnp.concatenate([counts, z])
-        ch = _channel_sums(vals, counts, chunk)
+            c_full = jnp.concatenate([c_full, z])
+        ch = _channel_sums(vals, c_full, chunk)
     else:
         w_rows = _BIG_WINDOW_ROWS           # chunk | w_rows (both pow2)
         nw = -(-n_al // w_rows)
+        cnt_src = weight_keys if lazy else counts
 
         def body(i, acc):
             # the last window clamps to the aligned head; its start
@@ -278,7 +294,9 @@ def weighted_partials_big(vals: jax.Array, counts: jax.Array) -> jax.Array:
             # so re-covered chunks rewrite the SAME sums (idempotent)
             start = jnp.minimum(i * w_rows, n_al - w_rows)
             v = jax.lax.dynamic_slice(vals, (start,), (w_rows,))
-            c = jax.lax.dynamic_slice(counts, (start,), (w_rows,))
+            c = jax.lax.dynamic_slice(cnt_src, (start,), (w_rows,))
+            if lazy:
+                c = weights_of(c)
             ch_w = _channel_sums(v, c, chunk)
             return jax.lax.dynamic_update_slice(acc, ch_w,
                                                 (0, start // chunk))
@@ -287,7 +305,9 @@ def weighted_partials_big(vals: jax.Array, counts: jax.Array) -> jax.Array:
             # ragged tail: fold the LAST chunk of rows, masking the
             # part already covered by the aligned head
             v = jax.lax.dynamic_slice(vals, (n - chunk,), (chunk,))
-            c = jax.lax.dynamic_slice(counts, (n - chunk,), (chunk,))
+            c = jax.lax.dynamic_slice(cnt_src, (n - chunk,), (chunk,))
+            if lazy:
+                c = weights_of(c)
             tail = _channel_sums(v, c, chunk,
                                  live_from=np.int32(n_al - (n - chunk)))
             ch = jnp.concatenate([ch, tail], axis=1)

@@ -196,3 +196,41 @@ def test_wide_values_factorized():
               [Projection(0, 0), Projection(1, 1)])
     ex = _check(rels, [q])
     assert ex.counters["ftree_queries"] == 1
+
+
+def test_lazy_gather_path_matches_oracle(monkeypatch):
+    """The HBM-bounded big-wave path (lazy beta gathers folded window by
+    window + the width-sized support-table root flag) must be exact;
+    forced at test size by shrinking the thresholds. Covers sums,
+    zeros, and NULL outcomes."""
+    import numpy as np
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.oracle import OracleExecutor, format_result
+    from radixhashjoin_tpu.ops import factorized
+    from radixhashjoin_tpu.storage import Relation
+    from radixhashjoin_tpu.utils import limbs
+    from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
+                                            Projection, Query)
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 2048)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(21)
+    n = 6 * 4096 + 123                   # ragged, several windows
+    fact = Relation([rng.integers(0, 500, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    dim = Relation([np.arange(500, dtype=np.uint64),
+                    rng.integers(0, 1000, 500).astype(np.uint64)])
+    queries = [
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 1), Projection(1, 1)]),
+        # filter matches nothing -> NULL through the support-table flag
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [FilterPred(1, 1, "=", 12345)],
+              [Projection(0, 1)]),
+    ]
+    oracle = OracleExecutor([fact, dim])
+    engine = Engine([fact, dim], EngineConfig())
+    got = engine.run_workload([queries])
+    want = [format_result(oracle.execute(q), len(q.projections))
+            for q in queries]
+    assert got == want, (got, want)
+    assert engine.batch_executor.counters["ftree_queries"] == 2
