@@ -304,6 +304,37 @@ def _mat(x):
     return x
 
 
+def _support_table(keys, width, mask=None):
+    """0/1 table of which codes appear in keys (masked lanes dropped).
+    Huge key vectors scatter window by window under a fori_loop so the
+    scatter's broadcast-update and index-select temps stay window-sized
+    (a 2**30-key scatter otherwise materializes two full-length 4 GB
+    temps)."""
+    n = keys.shape[0]
+    sent = np.int32(width)
+
+    def scat(sup, k, m):
+        k = k if m is None else jnp.where(m, k, sent)
+        return sup.at[k].max(1, mode="drop")
+
+    sup0 = jnp.zeros(width, jnp.int32)
+    if n <= _BIG_WAVE_ROWS:
+        return scat(sup0, keys, mask)
+    # n > _BIG_WAVE_ROWS >= w_rows, so every window slice is in range;
+    # windows may overlap at the tail: max-scatter of 1s is idempotent,
+    # recount-safe
+    w_rows = min(1 << 26, _BIG_WAVE_ROWS)
+    nw = -(-n // w_rows)
+
+    def body(i, sup):
+        start = jnp.minimum(i * w_rows, n - w_rows)
+        k = jax.lax.dynamic_slice(keys, (start,), (w_rows,))
+        m = (None if mask is None
+             else jax.lax.dynamic_slice(mask, (start,), (w_rows,)))
+        return scat(sup, k, m)
+    return jax.lax.fori_loop(0, nw, body, sup0)
+
+
 def _none_anywhere(x, axis):
     """~any(x), globally across the mesh axis in distributed mode."""
     a = jnp.any(x)
@@ -470,10 +501,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 # scatter the (masked) keys into a width-sized support
                 # table, then test any((T > 0) & in-keys) — O(width)
                 # memory instead of O(rows)
-                W = br.table.shape[0]
-                k = (br.keys if mr is None
-                     else jnp.where(mr, br.keys, np.int32(W)))
-                sup = jnp.zeros(W, jnp.int32).at[k].max(1, mode="drop")
+                sup = _support_table(br.keys, br.table.shape[0], mr)
                 if axis is not None:
                     sup = jax.lax.psum(sup, axis)
                 flags.append(_none_anywhere((br.table > 0) & (sup > 0),
