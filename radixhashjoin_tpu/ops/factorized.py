@@ -285,11 +285,11 @@ class _LazyGather:
     gather output plus the TPU backend's clamped-index temp — which is
     the difference between a 1B-row fact table fitting one chip and
     not. Consumers that only need the per-row weight fold it window by
-    window (utils/limbs.py:weighted_partials_big gathers inside its
-    fori_loop); the root-emptiness flag reduces through a width-sized
-    support table instead (any(T[keys] > 0) == any((T > 0) & in-keys));
-    every other consumer (products, masks, boolean clamps — none of
-    which occur on the hot 1B path) materializes via _mat."""
+    window, masks included (utils/limbs.py:weighted_partials_big
+    gathers and masks inside its fori_loop); the root-emptiness flag
+    reduces through a width-sized support table instead
+    (any(T[keys] > 0) == any((T > 0) & in-keys)); every other consumer
+    (products, boolean clamps) materializes via _mat."""
 
     __slots__ = ("table", "keys")
 
@@ -311,6 +311,10 @@ def _support_table(keys, width, mask=None):
     (a 2**30-key scatter otherwise materializes two full-length 4 GB
     temps)."""
     n = keys.shape[0]
+    if n >= (1 << 31) - (1 << 26):
+        raise ValueError(
+            f"_support_table caps below 2**31 keys (int32 window "
+            f"addressing in the scatter loop); got {n}")
     sent = np.int32(width)
 
     def scat(sup, k, m):
@@ -562,17 +566,18 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                      else _mat(m) * _mat(t.alpha[i]))
             n = plane.shape[0]
             if isinstance(m, _LazyGather):
-                if msg_mask[i] is None:
-                    outs.append((plane, m))       # folds window by window
-                    continue
-                m = _mat(m)
+                # folds window by window; an attached mask (every
+                # distributed shard carries a validity mask) rides along
+                # window by window too (weighted_partials_big)
+                outs.append((plane, m, msg_mask[i]))
+                continue
             if m is None:
                 w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
                      else msg_mask[i].astype(jnp.int32))
             else:
                 w = (m if msg_mask[i] is None
                      else jnp.where(msg_mask[i], m, 0))
-            outs.append((plane, w))
+            outs.append((plane, w, None))
 
     # every projection folds through ONE segment-batched reduction:
     # segments concatenate with zero-gap padding to chunk multiples
@@ -585,20 +590,21 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     # fori_loop reads straight out of the operands).
     parts = ()
     if outs:
-        total = sum(plane.shape[0] for plane, _ in outs)
+        total = sum(plane.shape[0] for plane, _w, _mk in outs)
         if total > _BIG_WAVE_ROWS or any(
-                isinstance(w, _LazyGather) for _, w in outs):
+                isinstance(w, _LazyGather) for _, w, _ in outs):
             parts = (jnp.stack(
                 [weighted_partials_big(plane, weight_table=w.table,
-                                       weight_keys=w.keys)
+                                       weight_keys=w.keys,
+                                       weight_mask=mk)
                  if isinstance(w, _LazyGather)
                  else weighted_partials_big(plane, w)
-                 for plane, w in outs]),)
+                 for plane, w, mk in outs]),)
             return tuple(flags), parts
         cseg = seg_chunk(total, len(outs))
         gap = jnp.zeros(cseg, jnp.int32)
         vs, ws, seg_ids = [], [], []
-        for si, (plane, w) in enumerate(outs):
+        for si, (plane, w, _mk) in enumerate(outs):
             n = plane.shape[0]
             pad = -n % cseg
             vs.append(plane)
@@ -616,8 +622,10 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
 def run_ftree(spec, cols, vals, scatter="xla", gather="xla"):
     """Execute one factorized tree (a single-spec wave). Returns
     (flags, partials): one bool flag per flag_node plus the M-emptiness
-    flag, and one (5, 2) int32 weighted fold per projs entry. Traced
-    inline under the fused stage program (ops/stage.py)."""
+    flag, and partials = a 1-tuple holding ONE (n_projs, 5, 3) stack of
+    SEG_SHIFT-piece weighted folds (weighted_partials_segments layout —
+    decode each row with utils/limbs.py:combine_weighted_segments).
+    Traced inline under the fused stage program (ops/stage.py)."""
     return run_ftree_wave(((spec, len(cols), len(vals)),),
                           tuple(cols), tuple(vals),
                           scatter=scatter, gather=gather)

@@ -76,6 +76,13 @@ ONEHOT_GATHER_MAX_BINS = 8192
 # already sub-millisecond and dispatch overhead dominates either way
 ONEHOT_MIN_ROWS = 1 << 16
 
+# device kinds whose MXU-vs-fixed-function-engine breakevens were
+# actually measured (v5e, 2026-08-19, scripts/bench_tables.py); the
+# thresholds above are THEIRS — any other TPU (v4, v5p, v6e, ...) keeps
+# the XLA engines under "auto" until its own shootout is committed,
+# instead of silently inheriting v5e breakevens
+_MEASURED_KINDS = frozenset({"TPU v5 lite", "TPU v5e"})
+
 BLOCK_ROWS = 16
 LANES = 128
 _BLOCK = BLOCK_ROWS * LANES
@@ -84,6 +91,17 @@ _BIN_TILE = 256
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def _measured_tpu() -> bool:
+    """True only on TPU kinds with committed kernel-policy measurements."""
+    if not _on_tpu():
+        return False
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return False
+    return kind in _MEASURED_KINDS
 
 
 # ---- scatter (weighted bincount) ----
@@ -191,7 +209,7 @@ def weighted_bincount_onehot(idxs, weights, n_bins: int,
 def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
     """Dispatch B = zeros(n_bins).at[idxs].add(weights, mode='drop')."""
     if impl == "auto":
-        impl = ("mxu" if _on_tpu()
+        impl = ("mxu" if _measured_tpu()
                 and n_bins <= MXU_SCATTER_MAX_BINS
                 and idxs.shape[0] >= ONEHOT_MIN_ROWS else "xla")
     if impl == "mxu":
@@ -229,7 +247,7 @@ def table_gather_onehot(table, keys):
 
 
 def _gather_auto(n_bins: int, rows: int) -> bool:
-    return (_on_tpu() and n_bins <= ONEHOT_GATHER_MAX_BINS
+    return (_measured_tpu() and n_bins <= ONEHOT_GATHER_MAX_BINS
             and rows >= ONEHOT_MIN_ROWS)
 
 

@@ -154,10 +154,13 @@ def _dist_gather_chunk(col, idxs, live, axis, n):
     resp = col[jnp.clip(req_r - base, 0, cap - 1)]
     ans = jax.lax.all_to_all(resp, axis, split_axis=0, concat_axis=0,
                              tiled=True)          # row d = d's answers
-    # my bin-d request at partitioned rank k sits at ans[d, k - offs[d]]
+    # my bin-d request at partitioned rank k sits at ans[d, k - offs[d]];
+    # indexed as a 2-D gather so no flattened db*m+k product exists —
+    # each per-chunk dimension is separately int32-bounded (n < 2**31
+    # chips, m < 2**31 lanes), with no n*m < 2**31 coupling
     k = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
     db = jnp.clip(dest[pp], 0, n - 1)
-    got = ans.reshape(-1)[jnp.clip(db * m + k - offs[db], 0, n * m - 1)]
+    got = ans[db, jnp.clip(k - offs[db], 0, m - 1)]
     return jnp.zeros(m, col.dtype).at[pp].set(got, mode="drop")
 
 

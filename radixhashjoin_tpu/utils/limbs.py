@@ -166,6 +166,9 @@ def seg_chunk(total_rows: int, n_segs: int) -> int:
             raise ValueError(
                 f"exact segment folds cap at ~2**35 rows; got "
                 f"{total_rows} across {n_segs} segments")
+    # NOTE: ~2**35 bounds the channel ARITHMETIC only; any single
+    # materialized input vector is separately capped below 2**31 rows by
+    # int32 addressing (weighted_partials_big raises loudly there).
     return c
 
 
@@ -246,10 +249,15 @@ _BIG_WINDOW_ROWS = 1 << 26
 
 def weighted_partials_big(vals: jax.Array, counts=None, *,
                           weight_table=None,
-                          weight_keys=None) -> jax.Array:
-    """One exact u64 weighted sum over a HUGE vector (any length, up to
-    ~2**35 rows), returning ONE (5, 3) fold decoding exactly like a
-    weighted_partials_segments row.
+                          weight_keys=None,
+                          weight_mask=None) -> jax.Array:
+    """One exact u64 weighted sum over a HUGE vector, returning ONE
+    (5, 3) fold decoding exactly like a weighted_partials_segments row.
+    Length caps just below 2**31 rows: the window loop's start offsets
+    (i * window) and dynamic_slice addressing are int32, so anything
+    past 2**31 - _BIG_WINDOW_ROWS raises loudly rather than silently
+    re-folding window 0 (the channel arithmetic alone would be exact to
+    ~2**35 rows, but the addressing is the real limit).
 
     Built for waves whose concatenation would not fit HBM (the 2**30-row
     config-5 single-chip run): no copy of vals/counts is ever made — the
@@ -264,7 +272,10 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
     weight_keys): the latter gathers weight_table[weight_keys] window
     by window INSIDE the loop, so neither the gather output nor the TPU
     backend's clamped-index temp (each keys-length — 4 GB at 2**30
-    rows) ever materializes full length."""
+    rows) ever materializes full length. weight_mask (optional bool,
+    same length): rows where it is False contribute zero — also applied
+    window by window, so a masked lazy fold (every distributed shard
+    seeds a validity mask) stays O(window) in temps."""
     lazy = counts is None
     assert lazy == (weight_table is not None)
 
@@ -272,11 +283,17 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
         return weight_table.at[idx_vec].get(mode="promise_in_bounds")
 
     n = vals.shape[0]
+    if n >= (1 << 31) - _BIG_WINDOW_ROWS:
+        raise ValueError(
+            f"weighted_partials_big caps at 2**31 - {_BIG_WINDOW_ROWS} "
+            f"rows (int32 window addressing); got {n}")
     chunk = seg_chunk(n, 1)
     n_al = (n // chunk) * chunk
     m = n_al // chunk
     if n <= _BIG_WINDOW_ROWS or m == 0:
         c_full = weights_of(weight_keys) if lazy else counts
+        if weight_mask is not None:
+            c_full = jnp.where(weight_mask, c_full, 0)
         pad = -n % chunk
         if pad:
             z = jnp.zeros(pad, jnp.int32)
@@ -288,16 +305,22 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
         nw = -(-n_al // w_rows)
         cnt_src = weight_keys if lazy else counts
 
+        def window_weights(start, size):
+            c = jax.lax.dynamic_slice(cnt_src, (start,), (size,))
+            if lazy:
+                c = weights_of(c)
+            if weight_mask is not None:
+                mk = jax.lax.dynamic_slice(weight_mask, (start,), (size,))
+                c = jnp.where(mk, c, 0)
+            return c
+
         def body(i, acc):
             # the last window clamps to the aligned head; its start
             # stays chunk-aligned (n_al and w_rows are both multiples),
             # so re-covered chunks rewrite the SAME sums (idempotent)
             start = jnp.minimum(i * w_rows, n_al - w_rows)
             v = jax.lax.dynamic_slice(vals, (start,), (w_rows,))
-            c = jax.lax.dynamic_slice(cnt_src, (start,), (w_rows,))
-            if lazy:
-                c = weights_of(c)
-            ch_w = _channel_sums(v, c, chunk)
+            ch_w = _channel_sums(v, window_weights(start, w_rows), chunk)
             return jax.lax.dynamic_update_slice(acc, ch_w,
                                                 (0, start // chunk))
         ch = jax.lax.fori_loop(0, nw, body, jnp.zeros((5, m), jnp.int32))
@@ -305,10 +328,8 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
             # ragged tail: fold the LAST chunk of rows, masking the
             # part already covered by the aligned head
             v = jax.lax.dynamic_slice(vals, (n - chunk,), (chunk,))
-            c = jax.lax.dynamic_slice(cnt_src, (n - chunk,), (chunk,))
-            if lazy:
-                c = weights_of(c)
-            tail = _channel_sums(v, c, chunk,
+            tail = _channel_sums(v, window_weights(np.int32(n - chunk),
+                                                   chunk), chunk,
                                  live_from=np.int32(n_al - (n - chunk)))
             ch = jnp.concatenate([ch, tail], axis=1)
     lo = (ch & 0x7FF).sum(axis=1, dtype=jnp.int32)

@@ -47,6 +47,11 @@ def main() -> None:
     p.add_argument("--zipf-engine", action="store_true",
                    help="BASELINE config 4: Zipf(1.1) join + SUM through "
                         "the engine, single chip")
+    p.add_argument("--zipf-only", action="store_true",
+                   help="skip every other config (implies --zipf-engine): "
+                        "at 2^30 fact rows the fact columns alone are 8 GB "
+                        "of a v5e's 16 GB HBM — nothing else may hold "
+                        "device memory")
     p.add_argument("--zipf-rows", type=int, default=27,
                    help="log2 fact rows for --zipf-engine (default 134M)")
     p.add_argument("--skew", action="store_true",
@@ -58,6 +63,9 @@ def main() -> None:
                         "CPU tests already cover it functionally)")
     args = p.parse_args()
 
+    if args.zipf_only:
+        args.zipf_engine = True
+
     import jax
     import jax.numpy as jnp
     from radixhashjoin_tpu.ops.join_dense import dense_probe
@@ -68,126 +76,130 @@ def main() -> None:
     domain = 1 << 21
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
 
-    # --- config: uniform single-chip probe (counts; the shape-deciding
-    # pass of every join) ---
-    lv = jax.random.randint(k1, (n,), 0, n_keys, dtype=jnp.int32)
-    rv = jax.random.randint(k2, (n,), 0, n_keys, dtype=jnp.int32)
-    cnt = jnp.int32(n)
-    r = dense_probe(lv, cnt, rv, cnt, domain)   # compile + warm
-    total = int(r[4])
-    t0 = time.time()
-    iters = 5
-    for _ in range(iters):
-        r = dense_probe(lv, cnt, rv, cnt, domain)
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
-        "metric": "dense_probe_uniform_tuples_per_s",
-        "rows_per_side": n, "output_pairs": total,
-        "value": round(2 * n / dt), "unit": "tuples/s",
-        "seconds": round(dt, 4)}))
-
-    # --- config: FK-shaped single-chip join (unique build side: the
-    # fact->dimension shape of most production joins; argsort stays the
-    # grouping primitive — the sort-free scatter-claim variant measured
-    # 20x slower and was reverted, EVIDENCE_r02.md) ---
-    rv_fk = jax.random.permutation(k3, n_keys).astype(jnp.int32)  # dimension
-    rcnt = jnp.int32(n_keys)
-    r = dense_probe(lv, cnt, rv_fk, rcnt, domain)   # compile + warm
-    total = int(r[4])
-    t0 = time.time()
-    for _ in range(iters):
-        r = dense_probe(lv, cnt, rv_fk, rcnt, domain)
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
-        "metric": "dense_probe_fk_tuples_per_s",
-        "fact_rows": n, "dim_rows": n_keys, "output_pairs": total,
-        "value": round((n + n_keys) / dt), "unit": "tuples/s",
-        "seconds": round(dt, 4)}))
-
-    # --- config: NARROW-DOMAIN probe (keys < 4096): the dense backend's
-    # table build + double lookup ride the int8 MXU paths here
-    # (ops/tables.py auto; wide domains keep the scatter/gather engines) ---
-    nd = 1 << 12
-    lv_n = jax.random.randint(k1, (n,), 0, nd, dtype=jnp.int32)
-    rv_n = jax.random.permutation(k3, nd).astype(jnp.int32)  # unique dim
-    rcnt_n = jnp.int32(nd)
-    r = dense_probe(lv_n, cnt, rv_n, rcnt_n, nd)   # compile + warm
-    total = int(r[4])
-    t0 = time.time()
-    for _ in range(iters):
-        r = dense_probe(lv_n, cnt, rv_n, rcnt_n, nd)
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
-        "metric": "dense_probe_narrow_domain_tuples_per_s",
-        "fact_rows": n, "dim_rows": nd, "domain": nd,
-        "output_pairs": total,
-        "value": round((n + nd) / dt), "unit": "tuples/s",
-        "seconds": round(dt, 4)}))
-
-    # --- config: star-schema 3-way join through the ENGINE's factorized
-    # path (fact JOIN dim1 JOIN dim2, filtered dim, 3 exact u64 SUMs):
-    # zero materialization — the 16M-row fact never expands, messages
-    # are two dense tables + gathers (ops/factorized.py) ---
     from radixhashjoin_tpu.config import EngineConfig
     from radixhashjoin_tpu.models.engine import Engine
     from radixhashjoin_tpu.storage import Relation
     from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
                                             Projection, Query)
-    nf = min(n, 1 << 24)               # host->device upload bound
-    rng = np.random.default_rng(0)
-    fact = Relation([rng.integers(0, n_keys, nf).astype(np.uint64),
-                     rng.integers(0, n_keys, nf).astype(np.uint64),
-                     rng.integers(0, 1000, nf).astype(np.uint64)])
-    dims = [Relation([np.arange(n_keys, dtype=np.uint64),
-                      rng.integers(0, 1000, n_keys).astype(np.uint64)])
-            for _ in range(2)]
-    eng = Engine([fact] + dims, EngineConfig())
-    q = Query([0, 1, 2],
-              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
-              [FilterPred(1, 1, "<", 900)],
-              [Projection(0, 2), Projection(1, 1), Projection(2, 1)])
-    eng.run_workload([[q]])            # compile + warm
-    t0 = time.time()
-    for _ in range(iters):
-        out = eng.run_workload([[q]])
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
-        "metric": "star_join_engine_tuples_per_s",
-        "fact_rows": nf, "dim_rows": n_keys, "n_joins": 2,
-        "factorized": eng.batch_executor.counters["ftree_queries"] > 0,
-        "value": round((nf + 2 * n_keys) / dt), "unit": "tuples/s",
-        "seconds": round(dt, 4), "sums": out[0][:60]}))
 
-    # --- config: SMALL-DIMENSION star join (1K-row dimensions, the
-    # common star-schema shape): per-edge table widths put every message
-    # table at <= 1024 bins, engaging the one-hot MXU gather and Pallas
-    # one-hot scatter fast paths (ops/tables.py; measured 2.7-9x the
-    # XLA engines at these widths). --impl forces a path for the delta. ---
-    nk_small = 1 << 10
-    fact_s = Relation([rng.integers(0, nk_small, nf).astype(np.uint64),
-                       rng.integers(0, nk_small, nf).astype(np.uint64),
-                       rng.integers(0, 1000, nf).astype(np.uint64)])
-    dims_s = [Relation([np.arange(nk_small, dtype=np.uint64),
-                        rng.integers(0, 1000, nk_small).astype(np.uint64)])
-              for _ in range(2)]
-    for impl in (["xla", "auto"] if args.impl == "both" else [args.impl]):
-        eng_s = Engine([fact_s] + dims_s,
-                       EngineConfig(ftree_scatter=impl, ftree_gather=impl))
-        eng_s.run_workload([[q]])          # compile + warm
+    iters = 5
+    rng = np.random.default_rng(0)
+    if not args.zipf_only:
+        # --- config: uniform single-chip probe (counts; the shape-deciding
+        # pass of every join) ---
+        lv = jax.random.randint(k1, (n,), 0, n_keys, dtype=jnp.int32)
+        rv = jax.random.randint(k2, (n,), 0, n_keys, dtype=jnp.int32)
+        cnt = jnp.int32(n)
+        r = dense_probe(lv, cnt, rv, cnt, domain)   # compile + warm
+        total = int(r[4])
         t0 = time.time()
+        iters = 5
         for _ in range(iters):
-            out = eng_s.run_workload([[q]])
+            r = dense_probe(lv, cnt, rv, cnt, domain)
+        jax.block_until_ready(r)
         dt = (time.time() - t0) / iters
         print(json.dumps({
-            "metric": "star_join_smalldim_engine_tuples_per_s",
-            "fact_rows": nf, "dim_rows": nk_small, "n_joins": 2,
-            "table_impl": impl,
-            "factorized": eng_s.batch_executor.counters["ftree_queries"] > 0,
-            "value": round((nf + 2 * nk_small) / dt), "unit": "tuples/s",
+            "metric": "dense_probe_uniform_tuples_per_s",
+            "rows_per_side": n, "output_pairs": total,
+            "value": round(2 * n / dt), "unit": "tuples/s",
+            "seconds": round(dt, 4)}))
+
+        # --- config: FK-shaped single-chip join (unique build side: the
+        # fact->dimension shape of most production joins; argsort stays the
+        # grouping primitive — the sort-free scatter-claim variant measured
+        # 20x slower and was reverted, EVIDENCE_r02.md) ---
+        rv_fk = jax.random.permutation(k3, n_keys).astype(jnp.int32)  # dimension
+        rcnt = jnp.int32(n_keys)
+        r = dense_probe(lv, cnt, rv_fk, rcnt, domain)   # compile + warm
+        total = int(r[4])
+        t0 = time.time()
+        for _ in range(iters):
+            r = dense_probe(lv, cnt, rv_fk, rcnt, domain)
+        jax.block_until_ready(r)
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": "dense_probe_fk_tuples_per_s",
+            "fact_rows": n, "dim_rows": n_keys, "output_pairs": total,
+            "value": round((n + n_keys) / dt), "unit": "tuples/s",
+            "seconds": round(dt, 4)}))
+
+        # --- config: NARROW-DOMAIN probe (keys < 4096): the dense backend's
+        # table build + double lookup ride the int8 MXU paths here
+        # (ops/tables.py auto; wide domains keep the scatter/gather engines) ---
+        nd = 1 << 12
+        lv_n = jax.random.randint(k1, (n,), 0, nd, dtype=jnp.int32)
+        rv_n = jax.random.permutation(k3, nd).astype(jnp.int32)  # unique dim
+        rcnt_n = jnp.int32(nd)
+        r = dense_probe(lv_n, cnt, rv_n, rcnt_n, nd)   # compile + warm
+        total = int(r[4])
+        t0 = time.time()
+        for _ in range(iters):
+            r = dense_probe(lv_n, cnt, rv_n, rcnt_n, nd)
+        jax.block_until_ready(r)
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": "dense_probe_narrow_domain_tuples_per_s",
+            "fact_rows": n, "dim_rows": nd, "domain": nd,
+            "output_pairs": total,
+            "value": round((n + nd) / dt), "unit": "tuples/s",
+            "seconds": round(dt, 4)}))
+
+        # --- config: star-schema 3-way join through the ENGINE's factorized
+        # path (fact JOIN dim1 JOIN dim2, filtered dim, 3 exact u64 SUMs):
+        # zero materialization — the 16M-row fact never expands, messages
+        # are two dense tables + gathers (ops/factorized.py) ---
+        nf = min(n, 1 << 24)               # host->device upload bound
+        rng = np.random.default_rng(0)
+        fact = Relation([rng.integers(0, n_keys, nf).astype(np.uint64),
+                         rng.integers(0, n_keys, nf).astype(np.uint64),
+                         rng.integers(0, 1000, nf).astype(np.uint64)])
+        dims = [Relation([np.arange(n_keys, dtype=np.uint64),
+                          rng.integers(0, 1000, n_keys).astype(np.uint64)])
+                for _ in range(2)]
+        eng = Engine([fact] + dims, EngineConfig())
+        q = Query([0, 1, 2],
+                  [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
+                  [FilterPred(1, 1, "<", 900)],
+                  [Projection(0, 2), Projection(1, 1), Projection(2, 1)])
+        eng.run_workload([[q]])            # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            out = eng.run_workload([[q]])
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": "star_join_engine_tuples_per_s",
+            "fact_rows": nf, "dim_rows": n_keys, "n_joins": 2,
+            "factorized": eng.batch_executor.counters["ftree_queries"] > 0,
+            "value": round((nf + 2 * n_keys) / dt), "unit": "tuples/s",
             "seconds": round(dt, 4), "sums": out[0][:60]}))
+
+        # --- config: SMALL-DIMENSION star join (1K-row dimensions, the
+        # common star-schema shape): per-edge table widths put every message
+        # table at <= 1024 bins, engaging the one-hot MXU gather and Pallas
+        # one-hot scatter fast paths (ops/tables.py; measured 2.7-9x the
+        # XLA engines at these widths). --impl forces a path for the delta. ---
+        nk_small = 1 << 10
+        fact_s = Relation([rng.integers(0, nk_small, nf).astype(np.uint64),
+                           rng.integers(0, nk_small, nf).astype(np.uint64),
+                           rng.integers(0, 1000, nf).astype(np.uint64)])
+        dims_s = [Relation([np.arange(nk_small, dtype=np.uint64),
+                            rng.integers(0, 1000, nk_small).astype(np.uint64)])
+                  for _ in range(2)]
+        for impl in (["xla", "auto"] if args.impl == "both" else [args.impl]):
+            eng_s = Engine([fact_s] + dims_s,
+                           EngineConfig(ftree_scatter=impl, ftree_gather=impl))
+            eng_s.run_workload([[q]])          # compile + warm
+            t0 = time.time()
+            for _ in range(iters):
+                out = eng_s.run_workload([[q]])
+            dt = (time.time() - t0) / iters
+            print(json.dumps({
+                "metric": "star_join_smalldim_engine_tuples_per_s",
+                "fact_rows": nf, "dim_rows": nk_small, "n_joins": 2,
+                "table_impl": impl,
+                "factorized": eng_s.batch_executor.counters["ftree_queries"] > 0,
+                "value": round((nf + 2 * nk_small) / dt), "unit": "tuples/s",
+                "seconds": round(dt, 4), "sums": out[0][:60]}))
 
     # --- BASELINE config 4: >= 100M-row Zipf(1.1)-skewed join + exact
     # u64 SUM aggregate THROUGH THE ENGINE, single chip (opt-in: heavy
@@ -239,6 +251,11 @@ def main() -> None:
                 "rows": nz, "zipf_s": s, "n_keys": n_keys_z,
                 "hot_key_share": round(float(top), 4),
                 "factorized": fact_mode,
+                # both exactness sources, self-described: the numpy host
+                # oracle always asserts; the materializing engine path
+                # cross-checks only while its pair matrix fits HBM
+                "oracle_checked": True,
+                "cross_checked": len(fact_modes) > 1,
                 "value": round((nz + n_keys_z) / dt), "unit": "tuples/s",
                 "seconds": round(dt, 4), "sums": outz[0][:60]}))
 

@@ -226,6 +226,10 @@ def test_lazy_gather_path_matches_oracle(monkeypatch):
         # filter matches nothing -> NULL through the support-table flag
         Query([0, 1], [JoinPred(0, 0, 1, 0)], [FilterPred(1, 1, "=", 12345)],
               [Projection(0, 1)]),
+        # filter on the FACT node: the lazy projection fold carries a
+        # msg_mask and must fold it window by window (not materialize)
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [FilterPred(0, 1, "<", 700)],
+              [Projection(0, 1), Projection(1, 1)]),
     ]
     oracle = OracleExecutor([fact, dim])
     engine = Engine([fact, dim], EngineConfig())
@@ -233,4 +237,4 @@ def test_lazy_gather_path_matches_oracle(monkeypatch):
     want = [format_result(oracle.execute(q), len(q.projections))
             for q in queries]
     assert got == want, (got, want)
-    assert engine.batch_executor.counters["ftree_queries"] == 2
+    assert engine.batch_executor.counters["ftree_queries"] == 3

@@ -162,3 +162,27 @@ def test_table_gather_onehot_exact_full_int32():
     keys = jnp.asarray(rng.integers(0, 512, 4096).astype(np.int32))
     got = np.asarray(table_gather_onehot(table, keys))
     assert (got == np.asarray(table)[np.asarray(keys)]).all()
+
+
+def test_kernel_policy_gated_on_measured_device_kind(monkeypatch):
+    """The MXU/onehot auto thresholds were measured on a v5e; any OTHER
+    TPU kind (v4, v5p, v6e) must fall back to the XLA engines under
+    "auto" instead of silently inheriting v5e breakevens."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from radixhashjoin_tpu.ops import tables
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for kind, want in [("TPU v4", False), ("TPU v5p", False),
+                       ("TPU v6 lite", False), ("TPU v5 lite", True),
+                       ("TPU v5e", True)]:
+        monkeypatch.setattr(
+            jax, "devices",
+            lambda kind=kind: [SimpleNamespace(device_kind=kind)])
+        assert tables._measured_tpu() is want, kind
+        assert tables._gather_auto(1024, 1 << 20) is want, kind
+    # CPU backend never engages the measured-kind paths
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert tables._measured_tpu() is False

@@ -145,3 +145,49 @@ def test_weighted_partials_big_matches_oracle(monkeypatch):
         want = int((vals.astype(object) * cnts.astype(object)).sum()
                    ) % 2**64
         assert got == want, (n, got, want)
+
+
+def test_weighted_partials_big_mask(monkeypatch):
+    """weight_mask rows fold to zero, window by window, in both the
+    materialized and lazy (table, keys) forms, every alignment class."""
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.utils import limbs
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(9)
+    chunk = limbs.WCHUNK
+    table = rng.integers(0, 1 << 31, 1 << 12).astype(np.int32)
+    for n in (512, 16 * chunk, 16 * chunk + 317, 13 * chunk + chunk // 2):
+        vals = rng.integers(0, 1 << 31, n).astype(np.int32)
+        keys = rng.integers(0, 1 << 12, n).astype(np.int32)
+        mask = rng.random(n) < 0.5
+        want = int((vals.astype(object) * table[keys].astype(object)
+                    * mask.astype(object)).sum()) % 2**64
+        lazy = np.asarray(limbs.weighted_partials_big(
+            jnp.asarray(vals), weight_table=jnp.asarray(table),
+            weight_keys=jnp.asarray(keys), weight_mask=jnp.asarray(mask)))
+        assert limbs.combine_weighted_segments(lazy) == want, n
+        mat = np.asarray(limbs.weighted_partials_big(
+            jnp.asarray(vals), jnp.asarray(table[keys]),
+            weight_mask=jnp.asarray(mask)))
+        assert limbs.combine_weighted_segments(mat) == want, n
+
+
+def test_weighted_partials_big_int32_addressing_guard():
+    """Rows past the int32 window-addressing envelope raise loudly
+    instead of silently re-folding window 0 (the window start i*w_rows
+    wraps negative past 2**31). Checked via eval_shape: no allocation."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from radixhashjoin_tpu.ops.factorized import _support_table
+    from radixhashjoin_tpu.utils import limbs
+    n_bad = (1 << 31) - (1 << 20)
+    spec = jax.ShapeDtypeStruct((n_bad,), jnp.int32)
+    with pytest.raises(ValueError, match="int32 window addressing"):
+        jax.eval_shape(limbs.weighted_partials_big, spec, spec)
+    with pytest.raises(ValueError, match="int32 window"):
+        jax.eval_shape(lambda k: _support_table(k, 64), spec)
+    # the envelope itself still traces (2**30 = the config-5 target)
+    ok = jax.ShapeDtypeStruct((1 << 30,), jnp.int32)
+    out = jax.eval_shape(limbs.weighted_partials_big, ok, ok)
+    assert out.shape == (5, 3)
