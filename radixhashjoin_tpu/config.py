@@ -92,6 +92,15 @@ class EngineConfig:
     # 4096-lane floor; 1 disables chunking.
     gather_chunks: int = 4
 
+    # Histogram-sized _dist_gather request capacity: per-destination
+    # lanes start at ~2x the uniform share (power-of-two, >= 4096)
+    # instead of the worst-case chunk length, with verify-and-retry on
+    # overflow (DistExecutor._gather_retry) — on a big mesh the
+    # request/response all_to_all payload shrinks ~n_chips/2-fold.
+    # False pins the worst-case capacity (never overflows, never
+    # retries).
+    gather_capacity: bool = True
+
     # --- factorized message-table kernels (ops/tables.py) ---
     # "xla" (scatter-add / gather engines), "sorted" (carrying sort +
     # boundary diffs, scatter-free), "onehot" (Pallas one-hot scatter /

@@ -278,65 +278,185 @@ def _concat(parts):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
-class _LazyGather:
-    """A HUGE message-table gather kept unmaterialized as (table, keys).
+def _win_rows() -> int:
+    # window length of every huge-node loop; min() lets tests shrink it
+    # by monkeypatching _BIG_WAVE_ROWS
+    return min(1 << 26, _BIG_WAVE_ROWS)
 
-    Materializing table[keys] at 2**30 keys costs 8 GB of HBM — the
-    gather output plus the TPU backend's clamped-index temp — which is
-    the difference between a 1B-row fact table fitting one chip and
-    not. Consumers that only need the per-row weight fold it window by
-    window, masks included (utils/limbs.py:weighted_partials_big
-    gathers and masks inside its fori_loop); the root-emptiness flag
-    reduces through a width-sized support table instead
-    (any(T[keys] > 0) == any((T > 0) & in-keys)); every other consumer
-    (products, boolean clamps) materializes via _mat."""
 
-    __slots__ = ("table", "keys")
+def _win_guard(n: int) -> None:
+    """Window starts (i * w_rows) and dynamic_slice offsets are int32;
+    past ~2**31 they would wrap negative and silently re-visit window 0.
+    Raise loudly instead (nothing that big fits one chip anyway)."""
+    if n >= (1 << 31) - (1 << 26):
+        raise ValueError(
+            f"huge-node window loops cap below 2**31 rows (int32 window "
+            f"addressing); got {n}")
 
-    def __init__(self, table, keys):
-        self.table = table
-        self.keys = keys
+
+class _Lazy:
+    """An unmaterialized per-row weight over a HUGE node: the
+    elementwise product of window-evaluable factors.
+
+    Materializing one message gather at 2**30 keys costs 8 GB of HBM
+    (the gather output plus the TPU backend's clamped-index temp); a
+    star join multiplies SEVERAL of them — the difference between a
+    1B-row fact table fitting one chip and not. Factors:
+
+      ("gather", table, keys, off, clamp) — table[keys + off], clamped
+          to 0/1 for boolean trees; the offset into the level's
+          concatenated table is applied per WINDOW, so no keys-length
+          `keys + off` copy ever exists
+      ("mat", vec)   — an already-materialized int32 vector
+      ("mask", bvec) — boolean; False rows contribute weight 0
+
+    Every consumer evaluates window by window (O(window) temps):
+    projection folds via utils/limbs.py:weighted_partials_big's
+    weight_fn, message builds via _scatter_add_big, emptiness flags via
+    _lazy_any_positive. Products stay int32-exact under the planner's
+    host-checked overflow caps (models/batch.py:_ftree_caps), exactly
+    as the materialized path's products do."""
+
+    __slots__ = ("n", "factors")
+
+    def __init__(self, n, factors):
+        _win_guard(n)
+        self.n = n
+        self.factors = list(factors)
+
+    @classmethod
+    def gather(cls, table, keys, off, clamp):
+        return cls(keys.shape[0],
+                   [("gather", table, keys, np.int32(off), bool(clamp))])
+
+    def with_mask(self, bvec):
+        return (self if bvec is None
+                else _Lazy(self.n, self.factors + [("mask", bvec)]))
+
+    def _parts(self, start, size):
+        for f in self.factors:
+            if f[0] == "gather":
+                _tag, table, keys, off, clamp = f
+                k = jax.lax.dynamic_slice(keys, (start,), (size,))
+                g = table.at[k + off].get(mode="promise_in_bounds")
+                yield ((g > 0) if clamp else g), clamp
+            elif f[0] == "mat":
+                yield jax.lax.dynamic_slice(f[1], (start,), (size,)), False
+            else:
+                yield jax.lax.dynamic_slice(f[1], (start,), (size,)), True
+
+    def window(self, start, size):
+        """int32 weights for rows [start, start+size)."""
+        w = msk = None
+        for g, is_bool in self._parts(start, size):
+            if is_bool:
+                msk = g if msk is None else msk & g
+            else:
+                w = g if w is None else w * g
+        if w is None:
+            w = jnp.ones(size, jnp.int32)
+        return w if msk is None else jnp.where(msk, w, 0)
+
+    def pos_window(self, start, size):
+        """bool window: weight > 0 (factors are nonnegative, so the
+        product is positive iff every factor is)."""
+        p = None
+        for g, is_bool in self._parts(start, size):
+            t = g if is_bool else (g > 0)
+            p = t if p is None else p & t
+        return (jnp.ones(size, bool) if p is None else p)
 
 
 def _mat(x):
-    if isinstance(x, _LazyGather):
-        return x.table.at[x.keys].get(mode="promise_in_bounds")
+    """Materialize full length — the small-node fallback only."""
+    if isinstance(x, _Lazy):
+        return x.window(np.int32(0), x.n)
     return x
 
 
-def _support_table(keys, width, mask=None):
-    """0/1 table of which codes appear in keys (masked lanes dropped).
-    Huge key vectors scatter window by window under a fori_loop so the
-    scatter's broadcast-update and index-select temps stay window-sized
-    (a 2**30-key scatter otherwise materializes two full-length 4 GB
-    temps)."""
-    n = keys.shape[0]
-    if n >= (1 << 31) - (1 << 26):
-        raise ValueError(
-            f"_support_table caps below 2**31 keys (int32 window "
-            f"addressing in the scatter loop); got {n}")
-    sent = np.int32(width)
+def _lazy_mul(a, b):
+    """Product of None | int32 vector | _Lazy weights (same length);
+    stays lazy if either side is."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, _Lazy) or isinstance(b, _Lazy):
+        fa = a.factors if isinstance(a, _Lazy) else [("mat", a)]
+        fb = b.factors if isinstance(b, _Lazy) else [("mat", b)]
+        n = a.n if isinstance(a, _Lazy) else a.shape[0]
+        return _Lazy(n, fa + fb)
+    return a * b
 
-    def scat(sup, k, m):
-        k = k if m is None else jnp.where(m, k, sent)
-        return sup.at[k].max(1, mode="drop")
 
-    sup0 = jnp.zeros(width, jnp.int32)
-    if n <= _BIG_WAVE_ROWS:
-        return scat(sup0, keys, mask)
-    # n > _BIG_WAVE_ROWS >= w_rows, so every window slice is in range;
-    # windows may overlap at the tail: max-scatter of 1s is idempotent,
-    # recount-safe
-    w_rows = min(1 << 26, _BIG_WAVE_ROWS)
+def _vary(x, axis):
+    """Mark a loop-carry init as device-varying inside shard_map (the
+    loop body mixes in per-chip data, and carry types must match)."""
+    return x if axis is None else jax.lax.pcast(x, axis, to="varying")
+
+
+def _lazy_any_positive(lz: _Lazy, mask, axis=None):
+    """any(weight > 0 [& mask]) over a huge node, window by window
+    (OR is idempotent, so the clamped final window may overlap)."""
+    n = lz.n
+    w_rows = _win_rows()
+    if n <= w_rows:
+        p = lz.pos_window(np.int32(0), n)
+        return jnp.any(p if mask is None else p & mask)
     nw = -(-n // w_rows)
 
-    def body(i, sup):
+    def body(i, acc):
         start = jnp.minimum(i * w_rows, n - w_rows)
-        k = jax.lax.dynamic_slice(keys, (start,), (w_rows,))
-        m = (None if mask is None
-             else jax.lax.dynamic_slice(mask, (start,), (w_rows,)))
-        return scat(sup, k, m)
-    return jax.lax.fori_loop(0, nw, body, sup0)
+        p = lz.pos_window(start, w_rows)
+        if mask is not None:
+            p = p & jax.lax.dynamic_slice(mask, (start,), (w_rows,))
+        return acc | jnp.any(p)
+    return jax.lax.fori_loop(0, nw, body, _vary(jnp.array(False), axis))
+
+
+def _scatter_add_big(width, key, off, weight, mask, sent, axis=None):
+    """zeros(width).at[key + off (masked -> sent)].add(weight) for a
+    HUGE key vector, window by window: the scatter's full-length
+    broadcast-update / index-select temps (2x 4 GB at 2**30 rows) and
+    the masked-index `where` copy all shrink to O(window). weight:
+    None | int32 vector | _Lazy — evaluated per window. add is NOT
+    idempotent, so the ragged tail re-scatters the LAST w_rows with the
+    already-covered head masked to zero weight (live_from), unlike the
+    idempotent rewrite the fold/any loops use."""
+    n = key.shape[0]
+    _win_guard(n)
+    w_rows = _win_rows()
+    off = np.int32(off)
+
+    def win(start, size, live_from=None):
+        k = jax.lax.dynamic_slice(key, (start,), (size,)) + off
+        if isinstance(weight, _Lazy):
+            w = weight.window(start, size)
+        elif weight is None:
+            w = jnp.ones(size, jnp.int32)
+        else:
+            w = jax.lax.dynamic_slice(weight, (start,), (size,))
+        if mask is not None:
+            m = jax.lax.dynamic_slice(mask, (start,), (size,))
+            k = jnp.where(m, k, sent)
+            w = jnp.where(m, w, 0)
+        if live_from is not None:
+            idx = start + jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
+            w = jnp.where(idx >= live_from, w, 0)
+        return k, w
+
+    n_full = n // w_rows            # n > _BIG_WAVE_ROWS >= w_rows
+
+    def body(i, acc):
+        k, w = win(i * w_rows, w_rows)
+        return acc.at[k].add(w, mode="drop")
+    acc = jax.lax.fori_loop(0, n_full, body,
+                            _vary(jnp.zeros(width, jnp.int32), axis))
+    if n_full * w_rows < n:
+        k, w = win(np.int32(n - w_rows), w_rows,
+                   live_from=np.int32(n_full * w_rows))
+        acc = acc.at[k].add(w, mode="drop")
+    return acc
 
 
 def _none_anywhere(x, axis):
@@ -390,11 +510,17 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         ups = [(t, ei) for t in trees for ei in t.by_height.get(h, ())]
         if not ups:
             continue
-        sc = [(t, ei) for (t, ei) in ups if t.pre[ei] is None]
+        # edges whose CHILD node is huge scatter window by window,
+        # each into its own width-sized slot of the level table; the
+        # rest batch into one scatter kernel as usual
+        sc = [(t, ei) for (t, ei) in ups if t.pre[ei] is None
+              and t.ckey[ei].shape[0] <= _BIG_WAVE_ROWS]
+        bg = [(t, ei) for (t, ei) in ups if t.pre[ei] is None
+              and t.ckey[ei].shape[0] > _BIG_WAVE_ROWS]
         pr = [(t, ei) for (t, ei) in ups if t.pre[ei] is not None]
         offs = {}
         total = 0
-        for (t, ei) in sc + pr:
+        for (t, ei) in sc + bg + pr:
             offs[(id(t), ei)] = total
             total += t.edges[ei][4]
         parts = []
@@ -420,17 +546,27 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             if axis is not None:
                 B = jax.lax.psum(B, axis)     # local scatters -> global
             parts.append(B)
+        for (t, ei) in bg:
+            _p, c, _pre, _nd, w = t.edges[ei]
+            Bb = _scatter_add_big(w, t.ckey[ei], 0, t.beta[c],
+                                  t.msg_mask[c], np.int32(w), axis)
+            if axis is not None:
+                Bb = jax.lax.psum(Bb, axis)
+            parts.append(Bb)
         for (t, ei) in pr:
             parts.append(t.pre[ei])           # already-global bincounts
         mega = _concat(parts)
         gks, meta, resolved = [], [], []
-        for (t, ei) in sc + pr:
-            gk = t.pkey[ei] + np.int32(offs[(id(t), ei)])
-            if gk.shape[0] > _BIG_WAVE_ROWS and not t.boolean:
-                resolved.append((t, ei, _LazyGather(mega, gk)))
+        for (t, ei) in sc + bg + pr:
+            off = offs[(id(t), ei)]
+            if t.pkey[ei].shape[0] > _BIG_WAVE_ROWS:
+                # huge PARENT: defer the gather; boolean trees clamp
+                # per window inside the lazy factor
+                resolved.append((t, ei, _Lazy.gather(mega, t.pkey[ei],
+                                                     off, t.boolean)))
                 continue
-            gks.append(gk)
-            meta.append((t, ei, gk.shape[0]))
+            gks.append(t.pkey[ei] + np.int32(off))
+            meta.append((t, ei, t.pkey[ei].shape[0]))
         g = table_gather(mega, _concat(gks), gather) if gks else None
         o = 0
         for (t, ei, n) in meta:
@@ -442,8 +578,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         for (t, ei, cv) in resolved:
             t.contrib[ei] = cv
             p = t.edges[ei][0]
-            t.beta[p] = (cv if t.beta[p] is None
-                         else _mat(t.beta[p]) * _mat(cv))
+            t.beta[p] = _lazy_mul(t.beta[p], cv)
 
     # ---- down pass, level-batched (top-down depths) ----
     maxd = max((d for t in trees for d in t.by_depth), default=-1)
@@ -451,42 +586,69 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         downs = [(t, ei) for t in trees for ei in t.by_depth.get(d, ())]
         if not downs:
             continue
+        # edges whose PARENT node is huge build their A slice window by
+        # window (the scatter weight — alpha[p] times the sibling
+        # contribs, a product of huge lazy gathers on a star fact node —
+        # is evaluated per window, never materialized)
+        sm = [(t, ei) for (t, ei) in downs
+              if t.pkey[ei].shape[0] <= _BIG_WAVE_ROWS]
+        bg = [(t, ei) for (t, ei) in downs
+              if t.pkey[ei].shape[0] > _BIG_WAVE_ROWS]
         offs = {}
         total = 0
-        for (t, ei) in downs:
+        for (t, ei) in sm + bg:
             offs[(id(t), ei)] = total
             total += t.edges[ei][4]
-        sent = np.int32(total)
-        idxs, ws = [], []
-        for (t, ei) in downs:
-            p, _c, _pre, _nd, _w = t.edges[ei]
-            w = _mat(t.alpha[p])
+
+        def down_weight(t, ei):
+            p = t.edges[ei][0]
+            w = t.alpha[p]
             for ej in t.children[p]:
                 if ej != ei:
-                    w = (_mat(t.contrib[ej]) if w is None
-                         else w * _mat(t.contrib[ej]))
-            key = t.pkey[ei]
-            off = np.int32(offs[(id(t), ei)])
-            mm = t.msg_mask[p]
-            if mm is not None:
-                idxs.append(jnp.where(mm, key + off, sent))
-                ws.append(jnp.where(mm, 1, 0) if w is None
-                          else jnp.where(mm, w, 0))
-            else:
-                idxs.append(key + off)
-                ws.append(jnp.ones(key.shape[0], jnp.int32)
-                          if w is None else w)
-        A = scatter_table(_concat(idxs), _concat(ws), total, scatter)
-        if axis is not None:
-            A = jax.lax.psum(A, axis)
+                    w = _lazy_mul(w, t.contrib[ej])
+            return w
+
+        parts = []
+        if sm:
+            t_sm = sum(t.edges[ei][4] for (t, ei) in sm)
+            sent = np.int32(t_sm)
+            idxs, ws = [], []
+            for (t, ei) in sm:
+                p = t.edges[ei][0]
+                w = _mat(down_weight(t, ei))
+                key = t.pkey[ei]
+                off = np.int32(offs[(id(t), ei)])
+                mm = t.msg_mask[p]
+                if mm is not None:
+                    idxs.append(jnp.where(mm, key + off, sent))
+                    ws.append(jnp.where(mm, 1, 0) if w is None
+                              else jnp.where(mm, w, 0))
+                else:
+                    idxs.append(key + off)
+                    ws.append(jnp.ones(key.shape[0], jnp.int32)
+                              if w is None else w)
+            Ab = scatter_table(_concat(idxs), _concat(ws), t_sm, scatter)
+            if axis is not None:
+                Ab = jax.lax.psum(Ab, axis)
+            parts.append(Ab)
+        for (t, ei) in bg:
+            p, _c, _pre, _nd, w_edge = t.edges[ei]
+            Ah = _scatter_add_big(w_edge, t.pkey[ei], 0,
+                                  down_weight(t, ei), t.msg_mask[p],
+                                  np.int32(w_edge), axis)
+            if axis is not None:
+                Ah = jax.lax.psum(Ah, axis)
+            parts.append(Ah)
+        A = _concat(parts)
         gks, meta = [], []
-        for (t, ei) in downs:
-            gk = t.ckey[ei] + np.int32(offs[(id(t), ei)])
-            if gk.shape[0] > _BIG_WAVE_ROWS and not t.boolean:
-                t.alpha[t.edges[ei][1]] = _LazyGather(A, gk)
+        for (t, ei) in sm + bg:
+            off = offs[(id(t), ei)]
+            if t.ckey[ei].shape[0] > _BIG_WAVE_ROWS:
+                t.alpha[t.edges[ei][1]] = _Lazy.gather(A, t.ckey[ei],
+                                                       off, t.boolean)
                 continue
-            gks.append(gk)
-            meta.append((t, ei, gk.shape[0]))
+            gks.append(t.ckey[ei] + np.int32(off))
+            meta.append((t, ei, t.ckey[ei].shape[0]))
         g = table_gather(A, _concat(gks), gather) if gks else None
         o = 0
         for (t, ei, n) in meta:
@@ -500,16 +662,12 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         flags.extend(_none_anywhere(mask[i], axis) for i in t.flag_nodes)
         if t.root >= 0 and t.tnode is None:
             br, mr = t.beta[t.root], mask[t.root]
-            if isinstance(br, _LazyGather):
-                # any(T[keys] > 0) without materializing the gather:
-                # scatter the (masked) keys into a width-sized support
-                # table, then test any((T > 0) & in-keys) — O(width)
-                # memory instead of O(rows)
-                sup = _support_table(br.keys, br.table.shape[0], mr)
-                if axis is not None:
-                    sup = jax.lax.psum(sup, axis)
-                flags.append(_none_anywhere((br.table > 0) & (sup > 0),
-                                            axis))
+            if isinstance(br, _Lazy):
+                # any(weight > 0 & mask) without materializing the
+                # lazy product — windowed OR, O(window) memory instead
+                # of O(rows); works for any number of star edges
+                flags.append(_none_anywhere(
+                    _lazy_any_positive(br, mr, axis), axis))
             elif br is None:
                 flags.append(jnp.array(False) if mr is None
                              else _none_anywhere(mr, axis))
@@ -560,16 +718,13 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 # i.e. the pre-selection multiset is empty
                 flags.append(_none_anywhere(part, axis))
         for (i,), plane in zip(t.projs, t.planes):
-            m = t.beta[i]
-            if t.alpha[i] is not None:
-                m = (t.alpha[i] if m is None
-                     else _mat(m) * _mat(t.alpha[i]))
+            m = _lazy_mul(t.beta[i], t.alpha[i])
             n = plane.shape[0]
-            if isinstance(m, _LazyGather):
-                # folds window by window; an attached mask (every
-                # distributed shard carries a validity mask) rides along
-                # window by window too (weighted_partials_big)
-                outs.append((plane, m, msg_mask[i]))
+            if isinstance(m, _Lazy):
+                # folds window by window; the mask (every distributed
+                # shard carries a validity mask) becomes a lazy factor,
+                # applied window by window too
+                outs.append((plane, m.with_mask(msg_mask[i])))
                 continue
             if m is None:
                 w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
@@ -577,7 +732,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             else:
                 w = (m if msg_mask[i] is None
                      else jnp.where(msg_mask[i], m, 0))
-            outs.append((plane, w, None))
+            outs.append((plane, w))
 
     # every projection folds through ONE segment-batched reduction:
     # segments concatenate with zero-gap padding to chunk multiples
@@ -590,21 +745,20 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     # fori_loop reads straight out of the operands).
     parts = ()
     if outs:
-        total = sum(plane.shape[0] for plane, _w, _mk in outs)
+        total = sum(plane.shape[0] for plane, _w in outs)
         if total > _BIG_WAVE_ROWS or any(
-                isinstance(w, _LazyGather) for _, w, _ in outs):
+                isinstance(w, _Lazy) for _, w in outs):
             parts = (jnp.stack(
-                [weighted_partials_big(plane, weight_table=w.table,
-                                       weight_keys=w.keys,
-                                       weight_mask=mk)
-                 if isinstance(w, _LazyGather)
-                 else weighted_partials_big(plane, w)
-                 for plane, w, mk in outs]),)
+                [weighted_partials_big(plane, weight_fn=w.window,
+                                       vary_axis=axis)
+                 if isinstance(w, _Lazy)
+                 else weighted_partials_big(plane, w, vary_axis=axis)
+                 for plane, w in outs]),)
             return tuple(flags), parts
         cseg = seg_chunk(total, len(outs))
         gap = jnp.zeros(cseg, jnp.int32)
         vs, ws, seg_ids = [], [], []
-        for si, (plane, w, _mk) in enumerate(outs):
+        for si, (plane, w) in enumerate(outs):
             n = plane.shape[0]
             pad = -n % cseg
             vs.append(plane)

@@ -63,7 +63,7 @@ class DistExecutor:
         self._planner = BatchExecutor(relations, config,
                                       catalog=self.catalog)
         self.counters = {"ftree_queries": 0, "exchange_queries": 0,
-                         "ftree_waves": 0}
+                         "ftree_waves": 0, "gather_retries": 0}
 
     # per-shard padded capacity for a slot — MUST equal the relation's
     # column shard capacity so live-set rowid ownership aligns with the
@@ -72,11 +72,43 @@ class DistExecutor:
         return self.catalog.shard_cap(rel_id)
 
     def _probe_stats(self, stats) -> tuple:
-        mn, mx = (int(x) for x in np.asarray(stats))
+        mn, mx = (int(x) for x in np.asarray(stats)[:2])
         if mn < 0:
             raise JoinCapacityError(
                 "a shard's join exceeds 2**31-1 output pairs")
         return mn, mx
+
+    def _gather_cap(self, m: int) -> int:
+        """Initial per-destination _dist_gather request capacity:
+        ~2x the uniform share m/n (power of two, >= 4096) — the
+        histogram-sized transient replacing the worst-case (n, m/K)
+        request matrix. 0 (= worst case, cannot overflow) when the
+        bound would not actually shrink anything."""
+        if not self.config.gather_capacity:
+            return 0
+        c = 4096
+        share = 2 * m // self.n + 1
+        while c < share:
+            c *= 2
+        return 0 if 2 * c >= m else c
+
+    def _gather_retry(self, m: int, dispatch):
+        """Verify-and-retry around a _dist_gather-bearing dispatch (the
+        join capacity discipline applied to gathers): dispatch(cap)
+        returns (result, overflowed); overflow quadruples the capacity
+        (a new static shape — one recompile per step, at most
+        ~log4(n_chips) of them) until nothing drops; cap 0 is the
+        worst-case request matrix and cannot overflow."""
+        cap = self._gather_cap(m)
+        while True:
+            res, ovf = dispatch(cap)
+            # short-circuit keeps cap == 0 readback-free (ovf may be an
+            # unread device scalar; the one-readback-per-pass discipline
+            # only pays for a sync when a bounded capacity was risked)
+            if cap == 0 or not bool(np.asarray(ovf)):
+                return res
+            self.counters["gather_retries"] += 1
+            cap = 0 if 8 * cap >= m else 4 * cap
 
     def _execute_ftree(self, q: Query, cached) -> Optional[List[int]]:
         """Distributed factorized tree: row-sharded messages, one psum
@@ -174,18 +206,24 @@ class DistExecutor:
                                            *live[s1])
                     slot_row = {s1: 0}
                 else:
-                    mat, icnts = d_eq_mat(mesh, ax, slot_row[s1],
-                                          slot_row[s2], False, colA, colB,
-                                          mat, icnts,
-                                          gchunks=self.config.gather_chunks)
+                    mat, icnts = self._gather_retry(
+                        mat.shape[1],
+                        lambda cap: (lambda o: (o[:2], o[2]))(
+                            d_eq_mat(mesh, ax, slot_row[s1], slot_row[s2],
+                                     False, colA, colB, mat, icnts,
+                                     gchunks=self.config.gather_chunks,
+                                     gcap=cap)))
                 continue
 
             j1, j2 = s1 in slot_row, s2 in slot_row
             if j1 and j2:
-                mat, icnts, flag = d_eq_mat(mesh, ax, slot_row[s1],
-                                            slot_row[s2], True, colA, colB,
-                                            mat, icnts,
-                                            gchunks=self.config.gather_chunks)
+                mat, icnts, flag = self._gather_retry(
+                    mat.shape[1],
+                    lambda cap: (lambda o: (o[:3], o[3]))(
+                        d_eq_mat(mesh, ax, slot_row[s1], slot_row[s2],
+                                 True, colA, colB, mat, icnts,
+                                 gchunks=self.config.gather_chunks,
+                                 gcap=cap)))
                 flags.append(flag)
                 continue
 
@@ -209,10 +247,19 @@ class DistExecutor:
                     full, fresh, colF, colG = s1, s2, colA, colB
                 else:
                     full, fresh, colF, colG = s2, s1, colB, colA
-                (frow_all, order, lo, off, cum, totals,
-                 stats) = d_case2_probe(mesh, ax, slot_row[full], colF,
+                def disp2(cap, full=full, colF=colF, colG=colG,
+                          fresh=fresh):
+                    out = d_case2_probe(mesh, ax, slot_row[full], colF,
                                         mat, icnts, colG, *live[fresh],
-                                        gchunks=self.config.gather_chunks)
+                                        gchunks=self.config.gather_chunks,
+                                        gcap=cap)
+                    # the overflow flag rides the stats vector the probe
+                    # reads back anyway: a bounded capacity costs no
+                    # extra sync here
+                    st = np.asarray(out[6])
+                    return (out, st), st[2] > 0
+                (frow_all, order, lo, off, cum, totals,
+                 _st), stats = self._gather_retry(mat.shape[1], disp2)
                 _, mx = self._probe_stats(stats)
                 if mx == 0:
                     return None
@@ -230,8 +277,11 @@ class DistExecutor:
                 continue
             total = 0
             for plane, shift in cat.proj_planes(q.slots[p.slot], p.col):
-                partials = d_project(mesh, ax, row, plane, mat, icnts,
-                                     gchunks=self.config.gather_chunks)
+                partials = self._gather_retry(
+                    mat.shape[1],
+                    lambda cap, plane=plane: d_project(
+                        mesh, ax, row, plane, mat, icnts,
+                        gchunks=self.config.gather_chunks, gcap=cap))
                 total += combine_limb_partials(
                     merge_fold16(np.asarray(partials))) << shift
             sums.append(total & _U64_MASK)

@@ -102,56 +102,70 @@ def _shard_base(col, axis):
     return jax.lax.axis_index(axis) * np.int32(col.shape[0])
 
 
-def _dist_gather(col, idxs, live, axis, n, chunks=1):
+def _dist_gather(col, idxs, live, axis, n, chunks=1, cap=0):
     """Gather a row-sharded column at GLOBAL rowids owned by ANY chip.
+    Returns (values (m,), overflow) — overflow is a LOCAL scalar bool
+    (False whenever cap == 0); on overflow the values are garbage and
+    the caller must re-dispatch with a larger capacity.
 
     col: this chip's row shard (cap,); global rowid g lives on chip
     g // cap at offset g % cap. idxs (m,): global rowids; live: which
     lanes are real (dead lanes return garbage).
 
-    chunks > 1 splits the request vector into K sub-gathers: the (n, m)
-    request-matrix transient (capacity m per destination — can never
-    overflow regardless of ownership skew) shrinks to (n, m/K), and the
-    K independent request/response all_to_all chains give XLA's async
-    collectives compute to overlap with (the same structure as the
-    pipelined case-1 exchange, d_case1_probe). Chunking is skipped below
-    a 4096-lane floor where the extra collectives would just add
-    latency. Exact for any K: each chunk's per-destination capacity is
-    the full chunk length."""
+    chunks > 1 splits the request vector into K sub-gathers: the
+    request-matrix transient shrinks to (n, m/K), and the K independent
+    request/response all_to_all chains give XLA's async collectives
+    compute to overlap with (the same structure as the pipelined case-1
+    exchange, d_case1_probe). Chunking is skipped below a 4096-lane
+    floor where the extra collectives would just add latency. Exact for
+    any K.
+
+    cap > 0 bounds the PER-DESTINATION request capacity (histogram-
+    sized transients): the request matrix becomes (n, cap) instead of
+    the worst-case (n, m/K) — at a 10**8-row intermediate on an 8-chip
+    mesh the 2x all_to_all payload drops from 8 * m/K lanes to 8 * cap.
+    A destination owning more than cap of a chunk's requests raises the
+    overflow flag (the verify-and-retry discipline of the join's
+    capacity flag, DistExecutor._gather_retry)."""
     m = idxs.shape[0]
     k = 1
     while (k * 2 <= chunks and m % (k * 2) == 0
            and m // (k * 2) >= 4096):
         k *= 2
     if k == 1:
-        return _dist_gather_chunk(col, idxs, live, axis, n)
+        return _dist_gather_chunk(col, idxs, live, axis, n, cap)
     c = m // k
-    return jnp.concatenate(
-        [_dist_gather_chunk(col, idxs[i * c:(i + 1) * c],
-                            live[i * c:(i + 1) * c], axis, n)
-         for i in range(k)])
+    outs = [_dist_gather_chunk(col, idxs[i * c:(i + 1) * c],
+                               live[i * c:(i + 1) * c], axis, n, cap)
+            for i in range(k)]
+    ovf = outs[0][1]
+    for _v, o in outs[1:]:
+        ovf = ovf | o
+    return jnp.concatenate([v for v, _o in outs]), ovf
 
 
-def _dist_gather_chunk(col, idxs, live, axis, n):
+def _dist_gather_chunk(col, idxs, live, axis, n, cap=0):
     """One request/response exchange of _dist_gather. Cost: one stable
-    sort + two all_to_alls + two gathers + one scatter.
+    sort + two all_to_alls + two gathers + one scatter. Returns
+    (values, local overflow bool) — see _dist_gather.
 
     This is the cross-chip half of what the reference gets for free from
     shared memory (every thread dereferences the one mmap copy,
     /root/reference/structs.cpp:217-226); here the values move over ICI
     instead of replicating the catalog into every chip's HBM."""
-    cap = col.shape[0]
+    ccap = col.shape[0]
     m = idxs.shape[0]
+    w = m if cap <= 0 or cap >= m else cap   # per-destination capacity
     pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-    dest = jnp.where(live, idxs // np.int32(cap), np.int32(n))
+    dest = jnp.where(live, idxs // np.int32(ccap), np.int32(n))
     (ip, pp), hist, offs = partition_by_digit(dest, (idxs, pos), n)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
     src = jnp.clip(offs[:, None] + j, 0, m - 1)
     req = ip[src]
     req_r = jax.lax.all_to_all(req, axis, split_axis=0, concat_axis=0,
                                tiled=True)        # row s = chip s's asks
-    base = jax.lax.axis_index(axis) * np.int32(cap)
-    resp = col[jnp.clip(req_r - base, 0, cap - 1)]
+    base = jax.lax.axis_index(axis) * np.int32(ccap)
+    resp = col[jnp.clip(req_r - base, 0, ccap - 1)]
     ans = jax.lax.all_to_all(resp, axis, split_axis=0, concat_axis=0,
                              tiled=True)          # row d = d's answers
     # my bin-d request at partitioned rank k sits at ans[d, k - offs[d]];
@@ -160,8 +174,11 @@ def _dist_gather_chunk(col, idxs, live, axis, n):
     # chips, m < 2**31 lanes), with no n*m < 2**31 coupling
     k = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
     db = jnp.clip(dest[pp], 0, n - 1)
-    got = ans[db, jnp.clip(k - offs[db], 0, m - 1)]
-    return jnp.zeros(m, col.dtype).at[pp].set(got, mode="drop")
+    got = ans[db, jnp.clip(k - offs[db], 0, w - 1)]
+    out = jnp.zeros(m, col.dtype).at[pp].set(got, mode="drop")
+    ovf = (jnp.any(hist > w) if w < m
+           else jnp.zeros((), bool))              # w == m cannot drop
+    return out, ovf
 
 
 def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
@@ -264,39 +281,44 @@ def d_eq_rows(mesh, axis, colA, colB, rows, counts):
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "i1", "i2", "null_flag",
-                                   "gchunks"))
+                                   "gchunks", "gcap"))
 def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
-             colA, colB, mat, icnts, gchunks: int = 1):
+             colA, colB, mat, icnts, gchunks: int = 1, gcap: int = 0):
     """Case 3 / joined same-slot: local row filter of the sharded
     intermediate. Intermediate rowids are global (the case-1 exchange
     moved them across chips), so both value gathers route through
     _dist_gather. With null_flag, also evaluates the reference's pair-set
     NULL rule GLOBALLY (Query.cpp:188-191): v1 on one chip may match v2 on
-    another, so the other side's values are all_gathered first."""
+    another, so the other side's values are all_gathered first.
+
+    Output gains a trailing replicated gather-overflow flag (gcap > 0
+    bounds _dist_gather's per-destination capacity; on True the caller
+    re-dispatches with a larger gcap — DistExecutor._gather_retry)."""
     n = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(None, axis), P(axis)),
-             out_specs=((P(None, axis), P(axis), P()) if null_flag
-                        else (P(None, axis), P(axis))))
+             out_specs=((P(None, axis), P(axis), P(), P()) if null_flag
+                        else (P(None, axis), P(axis), P())))
     def body(colA, colB, mat, icnts):
         ic = icnts[0]
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < ic
-        v1 = _dist_gather(colA, mat[i1], live, axis, n, gchunks)
-        v2 = _dist_gather(colB, mat[i2], live, axis, n, gchunks)
+        v1, o1 = _dist_gather(colA, mat[i1], live, axis, n, gchunks, gcap)
+        v2, o2 = _dist_gather(colB, mat[i2], live, axis, n, gchunks, gcap)
+        ovf = jax.lax.psum((o1 | o2).astype(jnp.int32), axis) > 0
         m = (v1 == v2) & live
         pos, cnt = compact_mask_positions(m)
         out = jnp.zeros_like(mat).at[:, pos].set(mat, mode="drop")
         if not null_flag:
-            return out, cnt.reshape(1)
+            return out, cnt.reshape(1), ovf
         v1s = jnp.where(live, v1, LEFT_SENTINEL)
         v2s = jnp.where(live, v2, RIGHT_SENTINEL)
         v2_all = jax.lax.all_gather(v2s, axis).reshape(-1)
         *_, total = _flat_probe(v1s, v2_all)
         nonempty = jax.lax.psum((total != 0).astype(jnp.int32), axis) > 0
-        return out, cnt.reshape(1), ~nonempty
+        return out, cnt.reshape(1), ~nonempty, ovf
     return body(colA, colB, mat, icnts)
 
 
@@ -401,14 +423,18 @@ def d_case1_expand(mesh, axis, out_cap: int, Lrow, Rrow, order, lo, off,
     return body(Lrow, Rrow, order, lo, off, cum)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "full_row", "gchunks"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "full_row", "gchunks",
+                                   "gcap"))
 def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
-                  col_fresh, frows, fcnts, gchunks: int = 1):
+                  col_fresh, frows, fcnts, gchunks: int = 1,
+                  gcap: int = 0):
     """Case-2 probe: broadcast the (small, filtered) fresh side, probe the
     sharded intermediate locally — the 20M-row side never crosses ICI.
     The probe side's rowids are global, so its values arrive via
     _dist_gather; the fresh side's are chip-local.
-    Returns (frow_all replicated, order, lo, off, cum, totals, stats)."""
+    Returns (frow_all replicated, order, lo, off, cum, totals, stats);
+    stats = [min_total, max_total, gather_overflow] (overflow > 0 =>
+    re-dispatch with a larger gcap, DistExecutor._gather_retry)."""
     n = mesh.shape[axis]
 
     # check_vma off: frow_all comes from all_gather, which IS replicated
@@ -421,10 +447,9 @@ def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < icnts[0]
-        lv = jnp.where(live,
-                       _dist_gather(col_full, mat[full_row], live, axis, n,
-                                    gchunks),
-                       LEFT_SENTINEL)
+        gv, ovf = _dist_gather(col_full, mat[full_row], live, axis, n,
+                               gchunks, gcap)
+        lv = jnp.where(live, gv, LEFT_SENTINEL)
         capF = frows.shape[0]
         jf = jax.lax.broadcasted_iota(jnp.int32, (capF,), 0)
         fv = jnp.where(jf < fc[0],
@@ -434,7 +459,8 @@ def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
         frow_all = jax.lax.all_gather(frows, axis).reshape(-1)
         order, lo, off, cum, total = _flat_probe(lv, fv_all)
         stats = jnp.stack([jax.lax.pmin(total, axis),
-                           jax.lax.pmax(total, axis)])
+                           jax.lax.pmax(total, axis),
+                           jax.lax.psum(ovf.astype(jnp.int32), axis)])
         return frow_all, order, lo, off, cum, total.reshape(1), stats
     return body(col_full, mat, icnts, col_fresh, frows, fcnts)
 
@@ -453,29 +479,34 @@ def d_case2_expand(mesh, axis, out_cap: int, mat, frow_all, order, lo, off,
     return body(mat, frow_all, order, lo, off, cum)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "row", "gchunks"))
-def d_project(mesh, axis, row: int, plane, mat, icnts, gchunks: int = 1):
+@partial(jax.jit, static_argnames=("mesh", "axis", "row", "gchunks",
+                                   "gcap"))
+def d_project(mesh, axis, row: int, plane, mat, icnts, gchunks: int = 1,
+              gcap: int = 0):
     """Exact limb partial sums of plane[mat[row]] over every shard's live
     prefix, folded per shard, split into 16-bit halves, then psum'd
     across the mesh — exact to MAX_PSUM_CHIPS (2**15) devices
     (utils/limbs.py). The host merges halves (merge_fold16) before
-    combine_limb_partials."""
+    combine_limb_partials. Returns (partials, replicated gather-overflow
+    flag — True => re-dispatch with a larger gcap)."""
     n = mesh.shape[axis]
     if n > MAX_PSUM_CHIPS:
         raise ValueError(f"mesh axis {axis} has {n} devices;"
                          f" exact psum folds cap at {MAX_PSUM_CHIPS}")
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis), P(None, axis), P(axis)), out_specs=P())
+             in_specs=(P(axis), P(None, axis), P(axis)),
+             out_specs=(P(), P()))
     def body(plane, mat, icnts):
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
         live = idx < icnts[0]
-        vals = jnp.where(live,
-                         _dist_gather(plane, mat[row], live, axis, n,
-                                      gchunks), 0)
-        return jax.lax.psum(split_fold16(fold_partials(
-            _partials_of_vals(vals))), axis)
+        gv, ovf = _dist_gather(plane, mat[row], live, axis, n,
+                               gchunks, gcap)
+        vals = jnp.where(live, gv, 0)
+        return (jax.lax.psum(split_fold16(fold_partials(
+            _partials_of_vals(vals))), axis),
+            jax.lax.psum(ovf.astype(jnp.int32), axis) > 0)
     return body(plane, mat, icnts)
 
 

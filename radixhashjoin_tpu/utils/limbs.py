@@ -250,7 +250,9 @@ _BIG_WINDOW_ROWS = 1 << 26
 def weighted_partials_big(vals: jax.Array, counts=None, *,
                           weight_table=None,
                           weight_keys=None,
-                          weight_mask=None) -> jax.Array:
+                          weight_mask=None,
+                          weight_fn=None,
+                          vary_axis=None) -> jax.Array:
     """One exact u64 weighted sum over a HUGE vector, returning ONE
     (5, 3) fold decoding exactly like a weighted_partials_segments row.
     Length caps just below 2**31 rows: the window loop's start offsets
@@ -268,16 +270,24 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
     ragged tail (< one chunk) folds from the last chunk-sized slice with
     the already-covered rows masked to zero weight.
 
-    Pass EITHER counts (materialized weights) OR (weight_table,
-    weight_keys): the latter gathers weight_table[weight_keys] window
-    by window INSIDE the loop, so neither the gather output nor the TPU
-    backend's clamped-index temp (each keys-length — 4 GB at 2**30
-    rows) ever materializes full length. weight_mask (optional bool,
-    same length): rows where it is False contribute zero — also applied
-    window by window, so a masked lazy fold (every distributed shard
-    seeds a validity mask) stays O(window) in temps."""
-    lazy = counts is None
+    Weight sources, exactly one of:
+      * counts — materialized weights, sliced window by window;
+      * (weight_table, weight_keys) — gathers weight_table[weight_keys]
+        window by window INSIDE the loop, so neither the gather output
+        nor the TPU backend's clamped-index temp (each keys-length —
+        4 GB at 2**30 rows) ever materializes full length;
+      * weight_fn(start, size) -> int32 window — an arbitrary
+        window-evaluable weight (ops/factorized.py passes a _Lazy
+        PRODUCT of table gathers here for multi-edge star trees).
+    weight_mask (optional bool, same length): rows where it is False
+    contribute zero — also applied window by window, so a masked lazy
+    fold (every distributed shard seeds a validity mask) stays
+    O(window) in temps. vary_axis: mesh axis name when called inside
+    shard_map on per-chip data (the fori_loop carry init must be marked
+    device-varying to match the body's output type)."""
+    lazy = counts is None and weight_fn is None
     assert lazy == (weight_table is not None)
+    assert weight_fn is None or (counts is None and weight_table is None)
 
     def weights_of(idx_vec):
         return weight_table.at[idx_vec].get(mode="promise_in_bounds")
@@ -291,7 +301,10 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
     n_al = (n // chunk) * chunk
     m = n_al // chunk
     if n <= _BIG_WINDOW_ROWS or m == 0:
-        c_full = weights_of(weight_keys) if lazy else counts
+        if weight_fn is not None:
+            c_full = weight_fn(np.int32(0), n)
+        else:
+            c_full = weights_of(weight_keys) if lazy else counts
         if weight_mask is not None:
             c_full = jnp.where(weight_mask, c_full, 0)
         pad = -n % chunk
@@ -306,9 +319,12 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
         cnt_src = weight_keys if lazy else counts
 
         def window_weights(start, size):
-            c = jax.lax.dynamic_slice(cnt_src, (start,), (size,))
-            if lazy:
-                c = weights_of(c)
+            if weight_fn is not None:
+                c = weight_fn(start, size)
+            else:
+                c = jax.lax.dynamic_slice(cnt_src, (start,), (size,))
+                if lazy:
+                    c = weights_of(c)
             if weight_mask is not None:
                 mk = jax.lax.dynamic_slice(weight_mask, (start,), (size,))
                 c = jnp.where(mk, c, 0)
@@ -323,7 +339,10 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
             ch_w = _channel_sums(v, window_weights(start, w_rows), chunk)
             return jax.lax.dynamic_update_slice(acc, ch_w,
                                                 (0, start // chunk))
-        ch = jax.lax.fori_loop(0, nw, body, jnp.zeros((5, m), jnp.int32))
+        acc0 = jnp.zeros((5, m), jnp.int32)
+        if vary_axis is not None:
+            acc0 = jax.lax.pcast(acc0, vary_axis, to="varying")
+        ch = jax.lax.fori_loop(0, nw, body, acc0)
         if n_al < n:
             # ragged tail: fold the LAST chunk of rows, masking the
             # part already covered by the aligned head

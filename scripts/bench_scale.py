@@ -54,6 +54,10 @@ def main() -> None:
                         "device memory")
     p.add_argument("--zipf-rows", type=int, default=27,
                    help="log2 fact rows for --zipf-engine (default 134M)")
+    p.add_argument("--star-rows", type=int, default=0,
+                   help="log2 fact rows for the big STAR join config "
+                        "(0 = skip; combine with --zipf-only to keep "
+                        "HBM clean at 2^29+)")
     p.add_argument("--skew", action="store_true",
                    help="also run the distributed skew-aware config "
                         "(opt-in: the TPU compiler takes ~60-90 s per "
@@ -64,7 +68,8 @@ def main() -> None:
     args = p.parse_args()
 
     if args.zipf_only:
-        args.zipf_engine = True
+        # "only the opt-in big configs": zipf unless a star-only run
+        args.zipf_engine = args.zipf_engine or not args.star_rows
 
     import jax
     import jax.numpy as jnp
@@ -258,6 +263,57 @@ def main() -> None:
                 "cross_checked": len(fact_modes) > 1,
                 "value": round((nz + n_keys_z) / dt), "unit": "tuples/s",
                 "seconds": round(dt, 4), "sums": outz[0][:60]}))
+
+    # --- BASELINE config-4 SHAPE at config-5 SCALE: >= 2^29-row STAR
+    # join (fact JOIN dim1 JOIN dim2) + 3 exact u64 SUMs through the
+    # engine, single chip (opt-in). The fact node's beta is a lazy
+    # PRODUCT of two message gathers, the down-pass A tables build
+    # window by window with lazy sibling-product weights, and the
+    # projection folds never materialize a fact-length temp
+    # (ops/factorized.py:_Lazy / _scatter_add_big) — at 2^30 rows the
+    # three fact columns alone are 12 GB of a 16 GB v5e. ---
+    if args.star_rows:
+        ns = 1 << args.star_rows
+        n_keys_s = 1 << 20
+        u = rng.random(ns) + 1e-12
+        zk1 = np.minimum(u ** (-1.0 / 0.1),
+                         n_keys_s - 1).astype(np.uint64)   # Zipf(1.1)
+        del u
+        zk2 = rng.integers(0, n_keys_s, ns).astype(np.uint64)
+        fvs = rng.integers(0, 1000, ns).astype(np.uint64)
+        d1v = rng.integers(0, 1000, n_keys_s).astype(np.uint64)
+        d2v = rng.integers(0, 1000, n_keys_s).astype(np.uint64)
+        facts = Relation([zk1, zk2, fvs])
+        d1 = Relation([np.arange(n_keys_s, dtype=np.uint64), d1v])
+        d2 = Relation([np.arange(n_keys_s, dtype=np.uint64), d2v])
+        qs = Query([0, 1, 2],
+                   [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
+                   [FilterPred(1, 1, "<", 900)],
+                   [Projection(0, 2), Projection(1, 1),
+                    Projection(2, 1)])
+        # independent host oracle (unique dim keys -> direct formulas)
+        keep = (d1v < 900)[zk1.astype(np.int64)]
+        e0 = int((fvs * keep).sum(dtype=np.uint64)) % 2**64
+        e1 = int((d1v[zk1.astype(np.int64)] * keep).sum(dtype=np.uint64)
+                 ) % 2**64
+        e2 = int((d2v[zk2.astype(np.int64)] * keep).sum(dtype=np.uint64)
+                 ) % 2**64
+        expected = [f"{e0} {e1} {e2}"]
+        engs = Engine([facts, d1, d2], EngineConfig())
+        got = engs.run_workload([[qs]])              # compile + warm
+        assert got == expected, (got, expected)
+        t0 = time.time()
+        for _ in range(iters):
+            outs = engs.run_workload([[qs]])
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": "star_join_big_engine_tuples_per_s",
+            "rows": ns, "zipf_s": 1.1, "n_keys": n_keys_s, "n_joins": 2,
+            "factorized":
+                engs.batch_executor.counters["ftree_queries"] > 0,
+            "oracle_checked": True,
+            "value": round((ns + 2 * n_keys_s) / dt), "unit": "tuples/s",
+            "seconds": round(dt, 4), "sums": outs[0][:80]}))
 
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:

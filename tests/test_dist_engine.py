@@ -222,3 +222,65 @@ def test_columns_are_row_sharded_not_replicated():
     got = format_result(ex.execute(q), 1)
     exp = format_result(OracleExecutor([rel]).execute(q), 1)
     assert got == exp
+
+
+def test_dist_lazy_star_huge_shards(monkeypatch):
+    """Huge PER-CHIP shards through d_ftree: with the thresholds shrunk,
+    every node column shard crosses _BIG_WAVE_ROWS, so the distributed
+    wave runs the lazy machinery — and every shard carries a validity
+    MASK (the r3 gap: masked lazy folds used to materialize). Star
+    shape: the fact shard's beta is a lazy product; folds, down-pass
+    scatters, and the psum'd windowed-OR flag all stay O(window)."""
+    from radixhashjoin_tpu.ops import factorized
+    from radixhashjoin_tpu.utils import limbs
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 512)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(77)
+    n = 8 * 700 + 33                     # ~700 rows/chip > 512
+    fact = Relation([rng.integers(0, 100, n).astype(np.uint64),
+                     rng.integers(0, 80, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    d1 = Relation([np.arange(100, dtype=np.uint64),
+                   rng.integers(0, 1000, 100).astype(np.uint64)])
+    d2 = Relation([np.arange(80, dtype=np.uint64),
+                   rng.integers(0, 1000, 80).astype(np.uint64)])
+    rels = [fact, d1, d2]
+    star = [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)]
+    queries = [
+        Query([0, 1, 2], star, [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 2), Projection(1, 1), Projection(2, 1)]),
+        Query([0, 1, 2], star, [FilterPred(0, 2, "<", 700)],
+              [Projection(0, 2), Projection(2, 1)]),
+        Query([0, 1, 2], star, [FilterPred(1, 1, "=", 55555)],
+              [Projection(0, 2)]),
+    ]
+    ex = _check(rels, queries)
+    assert ex.counters["ftree_queries"] == len(queries)
+
+
+def test_dist_gather_capacity_retry(monkeypatch):
+    """Histogram-sized _dist_gather capacity, end to end: a forced tiny
+    initial capacity makes the bounded request matrix overflow on real
+    ownership skew, and the verify-and-retry ladder (x4 steps, worst
+    case last) must recover the exact answer — never a silent drop.
+    Covers d_eq_mat (case 3 + NULL gate), d_case2_probe, d_project."""
+    monkeypatch.setattr(DistExecutor, "_gather_cap", lambda self, m: 8)
+    rng = np.random.default_rng(91)
+    n = 3000
+    rels = [Relation([rng.integers(0, 40, n).astype(np.uint64),
+                      rng.integers(0, 40, n).astype(np.uint64),
+                      rng.integers(0, 100, n).astype(np.uint64)]),
+            Relation([rng.integers(0, 40, 500).astype(np.uint64),
+                      rng.integers(0, 100, 500).astype(np.uint64)])]
+    queries = [
+        # case 1 -> case 3 (d_eq_mat, pair-set NULL gate) -> projections
+        Query([0, 1], [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1)],
+              [], [Projection(0, 2), Projection(1, 1)]),
+        # case 1 -> case 2 (d_case2_probe broadcast join) -> projection
+        Query([0, 1, 0],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
+              [FilterPred(2, 2, "<", 80)], [Projection(2, 2)]),
+    ]
+    cfg = EngineConfig(factorized=False)   # force the exchange pipeline
+    ex = _check(rels, queries, cfg)
+    assert ex.counters["gather_retries"] > 0

@@ -238,3 +238,60 @@ def test_lazy_gather_path_matches_oracle(monkeypatch):
             for q in queries]
     assert got == want, (got, want)
     assert engine.batch_executor.counters["ftree_queries"] == 3
+
+
+def test_lazy_star_multi_edge_matches_oracle(monkeypatch):
+    """Multi-edge (star) trees through the HBM-bounded huge path: the
+    fact node's beta is a lazy PRODUCT of message gathers (never
+    materialized), dim projections ride windowed down-pass scatters
+    whose weights are lazy sibling products, and NULL comes from the
+    windowed-OR flag over the product. Forced at test size by
+    shrinking the thresholds; covers sums, fact filters (mask factor),
+    dim projections (down pass), NULL, and a huge wiped boolean
+    component."""
+    import numpy as np
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.oracle import OracleExecutor, format_result
+    from radixhashjoin_tpu.ops import factorized
+    from radixhashjoin_tpu.utils import limbs
+    from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
+                                            Projection, Query)
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 2048)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(33)
+    n = 5 * 4096 + 77                    # ragged, several windows
+    fact = Relation([rng.integers(0, 300, n).astype(np.uint64),
+                     rng.integers(0, 200, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    d1 = Relation([np.arange(300, dtype=np.uint64),
+                   rng.integers(0, 1000, 300).astype(np.uint64)])
+    d2 = Relation([np.arange(200, dtype=np.uint64),
+                   rng.integers(0, 1000, 200).astype(np.uint64)])
+    rels = [fact, d1, d2]
+    star = [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)]
+    queries = [
+        # 2-edge star, sums on fact AND both dims (down pass over the
+        # huge fact with a lazy sibling-product weight)
+        Query([0, 1, 2], star, [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 2), Projection(1, 1), Projection(2, 1)]),
+        # fact-side filter -> mask factor in every lazy consumer
+        Query([0, 1, 2], star, [FilterPred(0, 2, "<", 700)],
+              [Projection(0, 2), Projection(2, 1)]),
+        # both dims filtered to nothing -> NULL via the windowed-OR
+        # flag over the lazy product
+        Query([0, 1, 2], star, [FilterPred(1, 1, "=", 55555)],
+              [Projection(0, 2)]),
+        # huge wiped component (boolean lazy tree): the first join pairs
+        # fact with d1, then a case-1 join of fresh d2 x d2 wipes it;
+        # the wiped HUGE component still gates NULL through the boolean
+        # (clamped) lazy path
+        Query([0, 1, 2, 2], [JoinPred(0, 0, 1, 0), JoinPred(2, 0, 3, 0)],
+              [], [Projection(2, 1)]),
+    ]
+    oracle = OracleExecutor(rels)
+    engine = Engine(rels, EngineConfig())
+    got = engine.run_workload([queries])
+    want = [format_result(oracle.execute(q), len(q.projections))
+            for q in queries]
+    assert got == want, (got, want)

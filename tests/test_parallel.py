@@ -111,7 +111,10 @@ def test_dist_gather_chunked_matches_unchunked(mesh):
     """Chunked _dist_gather (K request/response sub-exchanges bounding
     the (n, m/K) transient) must return exactly the unchunked answer for
     skewed ownership (all requests hitting one chip) and random global
-    rowids, above and below the 4096-lane chunking floor."""
+    rowids, above and below the 4096-lane chunking floor. A bounded
+    per-destination capacity (histogram-sized transient) must answer
+    identically when it holds, and raise the overflow flag — never
+    silently drop — when ownership skew exceeds it."""
     import jax
     from functools import partial
     from jax import shard_map
@@ -123,12 +126,13 @@ def test_dist_gather_chunked_matches_unchunked(mesh):
     rng = np.random.default_rng(3)
     col = rng.integers(0, 2**31 - 1, n * cap).astype(np.int32)
 
-    @partial(jax.jit, static_argnames=("m", "chunks"))
-    def run(col, idxs, live, m, chunks):
+    @partial(jax.jit, static_argnames=("m", "chunks", "gcap"))
+    def run(col, idxs, live, m, chunks, gcap=0):
         @partial(shard_map, mesh=mesh, in_specs=(P("x"), P(), P()),
-                 out_specs=P("x", None))
+                 out_specs=(P("x", None), P("x")))
         def body(col, idxs, live):
-            return _dist_gather(col, idxs, live, "x", n, chunks)[None]
+            v, o = _dist_gather(col, idxs, live, "x", n, chunks, gcap)
+            return v[None], o.reshape(1)
         return body(col, idxs, live)
 
     for m, skewed in ((1 << 15, False), (1 << 15, True), (1 << 10, False)):
@@ -138,11 +142,25 @@ def test_dist_gather_chunked_matches_unchunked(mesh):
             idxs = rng.integers(0, n * cap, m).astype(np.int32)
         live = rng.random(m) < 0.9
         want = np.where(live, col[idxs], 0)
-        base = np.asarray(run(jnp.asarray(col), jnp.asarray(idxs),
-                              jnp.asarray(live), m, 1))
-        chunk = np.asarray(run(jnp.asarray(col), jnp.asarray(idxs),
-                               jnp.asarray(live), m, 8))
+        base, _ = run(jnp.asarray(col), jnp.asarray(idxs),
+                      jnp.asarray(live), m, 1)
+        base = np.asarray(base)
+        chunk, _ = run(jnp.asarray(col), jnp.asarray(idxs),
+                       jnp.asarray(live), m, 8)
+        chunk = np.asarray(chunk)
         for shard in range(n):      # every chip computes the same answer
             np.testing.assert_array_equal(
                 np.where(live, base[shard], 0), want)
             np.testing.assert_array_equal(chunk[shard], base[shard])
+        # uniform ownership fits a 2x-share capacity: identical answer,
+        # no overflow; worst-case skew overflows it LOUDLY on the owner
+        gcap = max(2 * m // n, 1024)
+        vals, ovf = run(jnp.asarray(col), jnp.asarray(idxs),
+                        jnp.asarray(live), m, 1, gcap)
+        vals, ovf = np.asarray(vals), np.asarray(ovf)
+        if skewed:
+            assert ovf.any(), (m, gcap)
+        else:
+            assert not ovf.any(), (m, gcap)
+            for shard in range(n):
+                np.testing.assert_array_equal(vals[shard], base[shard])

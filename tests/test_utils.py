@@ -179,14 +179,21 @@ def test_weighted_partials_big_int32_addressing_guard():
     import jax
     import jax.numpy as jnp
     import pytest
-    from radixhashjoin_tpu.ops.factorized import _support_table
+    from radixhashjoin_tpu.ops import factorized
     from radixhashjoin_tpu.utils import limbs
     n_bad = (1 << 31) - (1 << 20)
     spec = jax.ShapeDtypeStruct((n_bad,), jnp.int32)
     with pytest.raises(ValueError, match="int32 window addressing"):
         jax.eval_shape(limbs.weighted_partials_big, spec, spec)
+    tbl = jax.ShapeDtypeStruct((64,), jnp.int32)
     with pytest.raises(ValueError, match="int32 window"):
-        jax.eval_shape(lambda k: _support_table(k, 64), spec)
+        jax.eval_shape(
+            lambda k, t: factorized._lazy_any_positive(
+                factorized._Lazy.gather(t, k, 0, False), None), spec, tbl)
+    with pytest.raises(ValueError, match="int32 window"):
+        jax.eval_shape(
+            lambda k, t: factorized._scatter_add_big(
+                64, k, 0, None, None, np.int32(64)), spec, tbl)
     # the envelope itself still traces (2**30 = the config-5 target)
     ok = jax.ShapeDtypeStruct((1 << 30,), jnp.int32)
     out = jax.eval_shape(limbs.weighted_partials_big, ok, ok)
