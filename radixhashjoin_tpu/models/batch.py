@@ -490,40 +490,49 @@ class BatchExecutor:
                     if any(s[3] == at for s in comp["sels"]):
                         return None
                     continue
+                # path rewriting through the equivalence classes: every
+                # prior edge/selection forces value equality within its
+                # class on all surviving (pre-this-predicate) rows, so
+                # the predicate a==b may be restated between ANY member
+                # of a's class and ANY member of b's class — pick a
+                # pairing that lands on one slot (-> same-slot
+                # selection) or on a DIRECT tree edge (-> composite-key
+                # fusion). This closes the transitive-cycle class the
+                # old planner fell back on whenever such a pairing
+                # exists; a genuinely cyclic residue (no pairing works,
+                # e.g. a triangle over fresh columns) still falls back.
+                ma = sorted(members.get(ra, {ra}))
+                mb = sorted(members.get(rb, {rb}))
                 sel = None
-                for (ms, mc) in members.get(ra, {ra}):
-                    if ms == s2:
-                        sel = (s2, c2, mc)
-                        break
-                if sel is None:
-                    for (ms, mc) in members.get(rb, {rb}):
-                        if ms == s1:
-                            sel = (s1, c1, mc)
+                for (sa, ca) in ma:
+                    for (sb, cb) in mb:
+                        if sa == sb:
+                            sel = (sa, ca, cb)
                             break
+                    if sel is not None:
+                        break
                 if sel is not None:
                     comp["sels"].append((*sel, at, True))
                     union(a, b)
                     continue
-                # parallel edge over distinct columns: fuse into the
-                # existing DIRECT edge as a composite key (exact: the
-                # fused edge enforces both equalities; see docstring).
-                # Only slots joined by a direct edge qualify — a
-                # transitive cycle would need path rewriting: fall back.
                 fused = False
                 fused_i = -1
                 for i, (p, pcs, c, ccs) in enumerate(comp["edges"]):
-                    if {p, c} == {s1, s2}:
-                        if p == s1:
-                            add_p, add_c = c1, c2
-                        else:
-                            add_p, add_c = c2, c1
-                        comp["edges"][i] = (p, pcs + (add_p,),
-                                            c, ccs + (add_c,))
+                    pa = next((cc for (s, cc) in ma if s == p), None)
+                    cb = next((cc for (s, cc) in mb if s == c), None)
+                    if pa is None or cb is None:
+                        # the mirrored orientation: b's class on the
+                        # parent, a's class on the child
+                        pa = next((cc for (s, cc) in mb if s == p), None)
+                        cb = next((cc for (s, cc) in ma if s == c), None)
+                    if pa is not None and cb is not None:
+                        comp["edges"][i] = (p, pcs + (pa,),
+                                            c, ccs + (cb,))
                         fused = True
                         fused_i = i
                         break
                 if not fused:
-                    return None      # transitive composite cycle
+                    return None      # irreducible cycle
                 comp.setdefault("fused_at", []).append((at, fused_i))
                 union(a, b)
                 continue
@@ -543,9 +552,16 @@ class BatchExecutor:
         if comp is None or not comp["edges"]:
             return None
         # selections AFTER the last join make the final multiset differ
-        # from the last join's output; ops/factorized.py handles exactly
-        # one via the trailing-selection machinery (pre-selection NULL
-        # gating) — more than one would need progressive re-masking
+        # from the last join's output; ops/factorized.py handles ONE via
+        # the trailing-selection machinery (pre-selection NULL gating).
+        # MULTIPLE trailing selections ride as pure msg_mask entries
+        # (comp["tsels"]) on a root-flag-suppressed sums spec, with a
+        # trailing-free boolean companion spec carrying the NULL gate
+        # (_ftree_plan_for "masked"/"pregate"). A join-born trailing
+        # selection carries the reference's step-pair-set NULL rule,
+        # which evaluates on the state BEFORE any later trailing entry —
+        # sound only when it is FIRST among them (companion part test =
+        # pre-trailing state): any other arrangement falls back.
         ne = len(comp["edges"])
         # a TRAILING fusion (no edge appended after it) carries the
         # reference's step-pair-set NULL rule, which differs from the
@@ -564,20 +580,26 @@ class BatchExecutor:
                 return None
             w["trail_fuse"] = tf[0] if tf else None
         trailing = [s for s in comp["sels"] if s[3] == ne]
-        if len(trailing) > 1:
-            return None
+        if any(s[4] for s in trailing[1:]):
+            return None          # join-born entry not first among trailing
         comp["trail"] = ((trailing[0][0], trailing[0][1], trailing[0][2],
                           trailing[0][4]) if trailing else None)
+        comp["tsels"] = [(s[0], s[1], s[2]) for s in trailing[1:]]
         comp["sels"] = [s for s in comp["sels"] if s[3] < ne]
         for w in wiped:
-            # a trailing NATIVE selection in a wiped comp cannot NULL and
-            # the case-1 wipe ignores its rows — drop it; a trailing
-            # JOIN-BORN one still carries the pair-set NULL test, which
-            # flag-only trees don't model — fall back
-            if any(s[3] >= len(w["edges"]) and s[4] for s in w["sels"]):
+            # trailing entries in a WIPED comp: natives cannot NULL and
+            # the case-1 wipe discards their rows — drop them; ONE
+            # join-born entry (necessarily first, else fall back: its
+            # pair set evaluates before any later trailing mask) still
+            # carries the step-pair-set NULL test via the flag-only gate
+            wne = len(w["edges"])
+            wt = [s for s in w["sels"] if s[3] >= wne]
+            if any(s[4] for s in wt[1:]):
                 return None
-            w["sels"] = [s for s in w["sels"] if s[3] < len(w["edges"])]
-            w["trail"] = None
+            w["trail"] = ((wt[0][0], wt[0][1], wt[0][2], True)
+                          if wt and wt[0][4] else None)
+            w["tsels"] = []
+            w["sels"] = [s for s in w["sels"] if s[3] < wne]
         return comp, wiped
 
     _CAP = 2**31
@@ -642,7 +664,21 @@ class BatchExecutor:
                    the fused edge), flag-only, with a cross-node
                    support-intersection gate deciding NULL via the
                    reference's step pair-set rule (oracle.py:133-142,
-                   /root/reference/Query.cpp:188-191)."""
+                   /root/reference/Query.cpp:188-191).
+
+        variant (comps with MULTIPLE trailing selections, comp["tsels"]):
+          "masked":  the sums spec — every trailing selection rides as a
+                     pure msg_mask entry (spec tsels), root flag
+                     SUPPRESSED (trailing masks on other nodes leak into
+                     any node's alpha/beta, so no single-node test on
+                     this spec can see the pre-trailing state);
+          "pregate": the trailing-free boolean companion carrying the
+                     NULL gate — the root M flag (all trailing entries
+                     native: NULL iff some join emptied == pre-trailing
+                     multiset empty) or the join-born pair-set gate
+                     (a born entry is required to be FIRST among the
+                     trailing entries, so its pre-state IS the
+                     pre-trailing state)."""
         cat = self.catalog
         edges_src = comp["edges"]
         gate_pair = None
@@ -688,6 +724,17 @@ class BatchExecutor:
             return w
 
         trail = comp.get("trail")
+        tsels_use = []
+        if variant == "masked":
+            tsels_use = ([(trail[0], trail[1], trail[2])] if trail
+                         else []) + list(comp.get("tsels") or ())
+            trail = None
+        elif variant == "pregate":
+            trail = trail if (trail is not None and trail[3]) else None
+        elif comp.get("tsels"):
+            # a comp with multiple trailing selections only ever plans
+            # through the masked/pregate pair
+            raise AssertionError("tsels comp planned without variant")
         trail_spec = None
         if gate_pair is not None:
             gp, gpc, gc, gcc = gate_pair
@@ -702,6 +749,11 @@ class BatchExecutor:
             trail_spec = (idx_of[ts], tborn,
                           _width(cat.code_max(q.slots[ts], tc1),
                                  cat.code_max(q.slots[ts], tc2)))
+            cols.append(cat.col(q.slots[ts], tc1))
+            cols.append(cat.col(q.slots[ts], tc2))
+        tsels_spec = []
+        for (ts, tc1, tc2) in tsels_use:
+            tsels_spec.append(idx_of[ts])
             cols.append(cat.col(q.slots[ts], tc1))
             cols.append(cat.col(q.slots[ts], tc2))
         edges_bu = list(reversed(edges_src))
@@ -730,7 +782,7 @@ class BatchExecutor:
             # the scatter); a cross-node gate leaves messages unmasked,
             # so pre stays safe at its nodes
             pre = (ci_ not in has_children and not filts_by[ci_]
-                   and not sels_by[ci_]
+                   and not sels_by[ci_] and ci_ not in tsels_spec
                    and (trail_spec is None or len(trail_spec) == 4
                         or ci_ != trail_spec[0]))
             needs_down = bool(in_subtree[ci_] & proj_nodes)
@@ -760,16 +812,16 @@ class BatchExecutor:
         flag_nodes = tuple(i for i in range(len(nodes)) if filt_ops[i])
         root = idx_of[comp["nodes"][0]]
         n_flags = len(flag_nodes) + 1
-        if variant == "fused":
-            # NULL is decided by the companion gate spec: suppress the
-            # root M-emptiness flag (the trailing fusion may empty the
-            # multiset without NULLing — sums-0-not-NULL)
+        if variant in ("fused", "masked"):
+            # NULL is decided by the companion gate/pregate spec:
+            # suppress the root M-emptiness flag (a trailing entry may
+            # empty the multiset without NULLing — sums-0-not-NULL)
             root = -1
             n_flags = len(flag_nodes)
         spec = (tuple(filt_ops),
                 tuple(len(sels_by[i]) for i in range(len(nodes))),
                 tuple(spec_edges), flag_nodes,
-                root, tuple(projs), trail_spec)
+                root, tuple(projs), trail_spec, tuple(tsels_spec))
         return (("ftree", spec, len(cols), len(vals)), cols, vals,
                 n_flags, tuple(nodes))
 
@@ -818,6 +870,13 @@ class BatchExecutor:
                         # tree
                         emit(comp, True, "fused")
                         emit(comp, False, "gate")
+                    elif comp.get("tsels"):
+                        # multiple trailing selections: the sums spec
+                        # masks them all (root flag suppressed); the
+                        # trailing-free boolean companion decides NULL
+                        # from the pre-trailing state
+                        emit(comp, True, "masked")
+                        emit(comp, False, "pregate")
                     else:
                         emit(comp, True)
                     cached = (fplan, fcols, fvals, fsum, fnf,

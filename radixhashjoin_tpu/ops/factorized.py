@@ -54,7 +54,7 @@ Spec layout (static, hashable — built by models/batch.py:_plan_ftree).
 Note it carries NO slot indices: two structurally identical trees over
 different relations share one compiled program.
 
-  spec = (filts, n_sels, edges, flag_nodes, root, projs, trail)
+  spec = (filts, n_sels, edges, flag_nodes, root, projs, trail, tsels)
     filts:      per node, tuple of filter opcodes (ops/filter.py
                 OP_EQ/OP_LT/OP_GT); each consumes one col + one val
     n_sels:     per node, number of same-slot equality selections
@@ -95,11 +95,24 @@ different relations share one compiled program.
                 evaluated on the PRE-fusion tree). Such a spec is
                 flag-only; its fused twin (same tree with the pair fused
                 into the edge key, root = -1) carries the sums.
+    tsels:      tuple of node indices — ADDITIONAL trailing same-slot
+                selections (two cols each, after the trail pair). Each
+                masks its node's outgoing messages and sum weights
+                (msg_mask) but never the NULL flags. A spec with tsels
+                has trail=None and root=-1 (its sums see every trailing
+                mask, so neither the root flag nor a single-node gate
+                could decide NULL from it); a flag-only COMPANION spec
+                of the same tree WITHOUT any trailing entry carries the
+                NULL gate instead — trailing masks on OTHER nodes would
+                otherwise leak into this node's alpha/beta and turn the
+                pre-trailing participation test post-trailing
+                (models/batch.py "masked"/"pregate" variants).
 
 Column/value consumption order (must match the planner):
   cols: 1. per node in node order: its filter columns, then its
            selection column pairs
         1b. the trailing selection's column pair, if any
+        1c. per tsels entry, in order: its column pair
         2. per edge in edge order: parent key column, child key column
         3. per edge with pre_flag, in edge order: the precomputed
            bincount table
@@ -142,7 +155,7 @@ def _parse_spec(spec, cols, vals, shard=None):
     this chip's row range out of a replicated node column, valid(node)
     is the boolean mask of real (non-pad, non-duplicate) rows in that
     slice. Pre tables are GLOBAL bincounts and are never sliced."""
-    filts, n_sels, edges, flag_nodes, root, projs, trail = spec
+    filts, n_sels, edges, flag_nodes, root, projs, trail, tsels = spec
     k = len(filts)
     t = _Tree()
     t.spec = spec
@@ -221,6 +234,15 @@ def _parse_spec(spec, cols, vals, shard=None):
         tsel = t.tsel_a == t.tsel_b
         t.msg_mask[t.tnode] = (tsel if mask[t.tnode] is None
                                else mask[t.tnode] & tsel)
+
+    # additional trailing selections: final-multiset masks only (the
+    # NULL gate lives in a trailing-free companion spec — see docstring)
+    for node in tsels:
+        a = node_col_raw(node)
+        b = node_col_raw(node)
+        eq = a == b
+        t.msg_mask[node] = (eq if t.msg_mask[node] is None
+                            else t.msg_mask[node] & eq)
 
     t.pkey, t.ckey = [], []
     for (p, c, _pre, _nd, _w) in edges:

@@ -133,6 +133,76 @@ def weighted_bincount_mxu(idxs, weights, n_bins: int):
     return out
 
 
+HIER_BLOCK_ROWS = 2048
+HIER_SUB_WIDTH = 1024
+
+
+def weighted_bincount_hier(idxs, weights, n_bins: int,
+                           block_rows: int = HIER_BLOCK_ROWS,
+                           sub_width: int = HIER_SUB_WIDTH):
+    """Hierarchical wide-table build: ONE carrying sort groups the rows,
+    then every block of `block_rows` consecutive sorted rows MXU-builds a
+    `sub_width`-wide local table anchored at its first key (a batched
+    int8 one-hot limb matmul — the 24 G updates/s narrow-table kernel
+    applied piecewise), and the per-block tables window-scatter-add into
+    the output: n/block_rows window updates instead of n element updates
+    through the ~200 M updates/s scatter engine.
+
+    The wide-table analog of the reference's partition step
+    (/root/reference/structs.cpp:111-134): sort by key == histogram +
+    stable scatter in one op, sub-tables == per-partition builds.
+
+    Exact for any input: rows whose key exceeds its block anchor +
+    sub_width ("spill" — only possible when fewer than block_rows rows
+    share sub_width consecutive bins, i.e. low occupancy) are masked out
+    of the MXU pass and added through one engine scatter, gated by
+    lax.cond on the spill count so dense inputs never pay it. Negative
+    keys are clamped to the drop sentinel up front (they would otherwise
+    anchor block 0's window out of bounds and drop its valid rows).
+    Per-bin totals < 2**31 (caller contract) bound every partial: 7-bit
+    limbs cannot sign-wrap in int8, per-block per-bin limb sums are
+    <= block_rows * 127, and window adds accumulate to the true sums."""
+    n = idxs.shape[0]
+    idxs = jnp.where(idxs < 0, n_bins, idxs)
+    pad = -n % block_rows
+    if pad:
+        idxs = jnp.pad(idxs, (0, pad), constant_values=n_bins)
+        weights = jnp.pad(weights, (0, pad))
+    sk, sw = jax.lax.sort((idxs, weights), num_keys=1)
+    nb = sk.shape[0] // block_rows
+    skb = sk.reshape(nb, block_rows)
+    swb = sw.reshape(nb, block_rows)
+    bases = skb[:, 0]
+    local = skb - bases[:, None]            # >= 0: rows are sorted
+    spill = local >= sub_width
+    wm = jnp.where(spill, 0, swb)
+    limbs = jnp.stack([(wm >> (7 * k)) & 0x7F for k in range(5)],
+                      axis=-1).astype(jnp.int8)        # (nb, R, 5)
+    onehot = (local[:, :, None]
+              == jnp.arange(sub_width, dtype=local.dtype)
+              ).astype(jnp.int8)                       # (nb, R, sub)
+    bk = jax.lax.dot_general(onehot, limbs, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.int32)
+    blockres = bk[..., 0]                              # (nb, sub)
+    for k in range(1, 5):
+        blockres = blockres + (bk[..., k] << (7 * k))
+    # window scatter: nb updates of sub_width contiguous lanes; windows
+    # may overlap (anchors are data) — add order is irrelevant for sums.
+    # Sentinel-anchored blocks land in the pad region or drop wholesale
+    # (sorted => every row of such a block is itself out of range).
+    out = jnp.zeros(n_bins + sub_width, jnp.int32)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    out = jax.lax.scatter_add(out, bases[:, None], blockres, dn)[:n_bins]
+
+    def add_spill(o):
+        return o.at[jnp.where(spill, skb, n_bins).reshape(-1)].add(
+            jnp.where(spill, swb, 0).reshape(-1), mode="drop")
+
+    return jax.lax.cond(jnp.any(spill), add_spill, lambda o: o, out)
+
+
 def weighted_bincount_sorted(idxs, weights, n_bins: int):
     """Scatter-free weighted bincount: one carrying sort + wrapped-cumsum
     boundary differences.
@@ -214,6 +284,8 @@ def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
                 and idxs.shape[0] >= ONEHOT_MIN_ROWS else "xla")
     if impl == "mxu":
         return weighted_bincount_mxu(idxs, weights, n_bins)
+    if impl == "hier":
+        return weighted_bincount_hier(idxs, weights, n_bins)
     if impl == "sorted":
         return weighted_bincount_sorted(idxs, weights, n_bins)
     if impl == "onehot":

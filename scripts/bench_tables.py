@@ -70,6 +70,7 @@ def main() -> None:
     import numpy as np
     from functools import partial
     from radixhashjoin_tpu.ops.tables import (table_gather_onehot,
+                                              weighted_bincount_hier,
                                               weighted_bincount_mxu,
                                               weighted_bincount_onehot,
                                               weighted_bincount_sorted,
@@ -83,7 +84,7 @@ def main() -> None:
     k1, k2 = jax.random.split(key)
 
     # ---- scatter shootout ----
-    for log_bins in (9, 10, 11, 12, 16, 21):
+    for log_bins in (9, 10, 11, 12, 16, 20, 21):
         bins = 1 << log_bins
         idx = jax.random.randint(k1, (n,), 0, bins, dtype=jnp.int32)
         # per-bin totals stay < 2**31: avg rows/bin * max weight
@@ -92,6 +93,13 @@ def main() -> None:
         fns = {"xla": jax.jit(partial(weighted_bincount_xla, n_bins=bins)),
                "sorted": jax.jit(partial(weighted_bincount_sorted,
                                          n_bins=bins))}
+        if bins > 4096:
+            # hierarchical build (sort + blocked MXU sub-tables +
+            # window scatter), the wide-table contender; sweep the
+            # sub-table width for the policy
+            for sub in (1024, 2048, 4096):
+                fns[f"hier{sub}"] = jax.jit(partial(
+                    weighted_bincount_hier, n_bins=bins, sub_width=sub))
         if bins <= 8192:
             fns["mxu"] = jax.jit(partial(weighted_bincount_mxu,
                                          n_bins=bins))

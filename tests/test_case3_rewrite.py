@@ -229,8 +229,10 @@ def test_triple_composite_key_fuses():
 
 
 def test_transitive_composite_cycle_falls_back():
-    # the cycle closes between slots connected only THROUGH a third
-    # node: no direct edge to fuse into -> materializing path
+    # an IRREDUCIBLE cycle: it closes over columns fresh to the
+    # equivalence classes between slots connected only THROUGH a third
+    # node — no pairing of class members lands on one slot or a direct
+    # edge -> materializing path
     A = _u64([1, 2], [5, 6])
     B = _u64([1, 2], [7, 8])
     C = _u64([7, 8], [5, 6])
@@ -239,6 +241,149 @@ def test_transitive_composite_cycle_falls_back():
                JoinPred(2, 1, 0, 1)],
               [], [Projection(0, 0)])
     _run([A, B, C], q, expect_ftree=False)
+
+
+def test_transitive_cycle_rewrites_onto_direct_edge():
+    # chain A-B-C, then A.0 = C.1: class(A.0) contains (B,0) via the
+    # first edge, and B-C IS a direct edge -> the predicate fuses into
+    # it as a composite key (path rewrite through the union-find) — the
+    # class the old planner fell back on (VERDICT r3 #5)
+    A = _u64([1, 2, 3], [10, 20, 30])
+    B = _u64([1, 2, 2], [7, 8, 9])
+    C = _u64([7, 8, 9, 8], [1, 2, 3, 9])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 1, 2, 0),
+               JoinPred(0, 0, 2, 1)],
+              [], [Projection(0, 1), Projection(2, 0)])
+    _run([A, B, C], q, expect_ftree=True)
+
+
+def test_transitive_cycle_rewrites_to_same_slot_sel():
+    # two classes meet on a MIDDLE slot: A.0 ~ B.0 and C.0 ~ B.1, so
+    # A.0 = C.0 collapses to the same-slot selection B.0 == B.1
+    A = _u64([1, 2, 3], [10, 20, 30])
+    B = _u64([1, 2, 3], [1, 5, 3])
+    C = _u64([1, 3, 5], [100, 200, 300])
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(2, 0, 1, 1),
+               JoinPred(0, 0, 2, 0)],
+              [], [Projection(0, 1), Projection(2, 1)])
+    _run([A, B, C], q, expect_ftree=True)
+
+
+def test_transitive_cycle_trailing_pair_gate():
+    # the rewritten-onto-a-direct-edge predicate arrives TRAILING: the
+    # fused tree carries the sums and the boolean companion's cross-node
+    # gate carries the step pair-set NULL rule over the REWRITTEN pair
+    # (exact: class equality holds on every pre-trailing row)
+    A = _u64([1, 2], [10, 20])
+    B = _u64([1, 2], [7, 8])
+    C = _u64([7, 8], [5, 6])      # C.1 never equals A.0 ~ B.0
+    q = Query([0, 1, 2],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 1, 2, 0),
+               JoinPred(0, 0, 2, 1)],
+              [], [Projection(0, 1)])
+    out = _run([A, B, C], q, expect_ftree=True)
+    assert out == "NULL"          # pair set empty -> NULL
+
+
+def test_multiple_trailing_native_sels_surviving_rows():
+    # TWO same-slot selections after the last join, on DIFFERENT nodes:
+    # the sums spec masks both (tsels) and the trailing-free companion
+    # decides NULL — previously a fallback (VERDICT r3 #5)
+    A = _u64([1, 2, 3], [1, 5, 3], [1, 9, 3])
+    B = _u64([1, 2, 3], [4, 5, 6], [4, 9, 6])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 0, 2),
+               JoinPred(1, 1, 1, 2)],
+              [], [Projection(0, 0), Projection(1, 1)])
+    out = _run([A, B], q, expect_ftree=True)
+    assert out == "4 10"          # rows 0 and 2 survive both selections
+
+
+def test_multiple_trailing_native_sels_empty_is_zeros_not_null():
+    # the trailing selections empty every row, but the JOIN was
+    # non-empty: sums 0, NOT NULL (Query.cpp:168-170 — natives never
+    # NULL; the companion's pre-trailing root flag stays quiet)
+    A = _u64([1, 2], [9, 9], [1, 2])
+    B = _u64([1, 2], [7, 7], [1, 2])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 0, 2),
+               JoinPred(1, 1, 1, 2)],
+              [], [Projection(0, 0), Projection(1, 0)])
+    out = _run([A, B], q, expect_ftree=True)
+    assert out == "0 0"
+
+
+def test_multiple_trailing_sels_join_empty_is_null():
+    # the join itself empties -> NULL regardless of the trailing sels
+    A = _u64([1, 2], [1, 2], [1, 2])
+    B = _u64([8, 9], [8, 9], [8, 9])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 0, 2),
+               JoinPred(1, 1, 1, 2)],
+              [], [Projection(0, 0), Projection(1, 0)])
+    out = _run([A, B], q, expect_ftree=True)
+    assert out == "NULL NULL"
+
+
+def test_born_first_then_native_trailing():
+    # a join-born trailing selection FOLLOWED by a native one: the born
+    # gate (pair-set rule) evaluates on the pre-trailing state — its
+    # position first makes that exact; pair set nonempty + the native
+    # empties the rows -> 0s, not NULL
+    A = _u64([1, 2], [2, 1], [5, 6], [7, 8])
+    B = _u64([1, 2])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 0, 0, 1),
+               JoinPred(0, 2, 0, 3)],
+              [], [Projection(0, 0), Projection(1, 0)])
+    out = _run([A, B], q, expect_ftree=True)
+    assert out == "0 0"
+
+
+def test_native_then_born_trailing_falls_back():
+    # a born entry NOT first among the trailing selections: its pair
+    # set evaluates after the native's re-masking, which the flag
+    # machinery doesn't model -> materializing path, still exact
+    A = _u64([1, 2], [2, 1], [5, 6], [5, 6])
+    B = _u64([1, 2])
+    q = Query([0, 1],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 2, 0, 3),
+               JoinPred(1, 0, 0, 1)],
+              [], [Projection(0, 0), Projection(1, 0)])
+    _run([A, B], q, expect_ftree=False)
+
+
+def test_wiped_comp_trailing_born_gate():
+    # a trailing join-born selection inside a comp later WIPED by a
+    # case-1 join: its pair-set NULL test must still gate the query
+    # (flag-only born gate) — previously a fallback
+    A = _u64([1, 2], [5, 6])      # A.1 shares no value with the keys
+    B = _u64([1, 2])
+    C = _u64([3, 4])
+    D = _u64([3, 4, 4])
+    q = Query([0, 1, 2, 3],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 0, 0, 1),
+               JoinPred(2, 0, 3, 0)],
+              [], [Projection(2, 0), Projection(3, 0)])
+    out = _run([A, B, C, D], q, expect_ftree=True)
+    assert out == "NULL NULL"     # wiped comp's pair set was empty
+
+
+def test_wiped_comp_trailing_born_gate_nonempty():
+    # same shape, pair set NONEMPTY in the wiped comp: the later comp's
+    # rows carry the sums
+    A = _u64([1, 2], [2, 9])      # value 2 pairs across the columns
+    B = _u64([1, 2])
+    C = _u64([3, 4])
+    D = _u64([3, 4, 4])
+    q = Query([0, 1, 2, 3],
+              [JoinPred(0, 0, 1, 0), JoinPred(1, 0, 0, 1),
+               JoinPred(2, 0, 3, 0)],
+              [], [Projection(2, 0), Projection(3, 0)])
+    out = _run([A, B, C, D], q, expect_ftree=True)
+    assert out == "11 11"         # (3,3),(4,4),(4,4)
 
 
 def test_identity_after_pending_trailing_sel_falls_back():

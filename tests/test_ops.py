@@ -140,6 +140,43 @@ def test_weighted_bincount_variants_match_xla():
             == ref).all()
 
 
+def test_weighted_bincount_hier_exact():
+    """Hierarchical wide-table build vs the XLA scatter engine across
+    its regimes: dense (spill-free fast path), sparse (every block
+    spills — the cond fallback), sentinel-heavy, negative keys, and a
+    ragged tail shorter than one block."""
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.tables import (weighted_bincount_hier,
+                                              weighted_bincount_xla)
+    rng = np.random.default_rng(7)
+    n_bins = 1 << 15
+    cases = {
+        # dense: 2**17 rows over 2**15 bins (mult 4) — blocks stay local
+        "dense": rng.integers(0, n_bins, 1 << 17),
+        # zipf-ish skew: heavy head, long tail
+        "skew": np.minimum((rng.random(1 << 17) + 1e-9) ** -2.0,
+                           n_bins - 1).astype(np.int64),
+        # sparse: 4096 rows over 32768 bins — blocks span >> sub_width
+        "sparse": rng.integers(0, n_bins, 1 << 12),
+        # ragged: not a multiple of block_rows, with sentinels + negatives
+        "ragged": np.where(rng.random(3001) < 0.2, -3,
+                           np.where(rng.random(3001) < 0.1, n_bins + 7,
+                                    rng.integers(0, n_bins, 3001))),
+    }
+    for name, idx_np in cases.items():
+        idxs = jnp.asarray(idx_np.astype(np.int32))
+        w = jnp.asarray(rng.integers(0, 2**20, idxs.shape[0])
+                        .astype(np.int32))
+        # the reference for the DOCUMENTED contract: every out-of-range
+        # index drops (raw jnp .at[] would wrap negatives NumPy-style;
+        # the MXU/onehot/hier kernels all drop them, and no caller ever
+        # produces one — wave sentinels are >= n_bins)
+        ref = np.asarray(weighted_bincount_xla(
+            jnp.where(idxs < 0, n_bins, idxs), w, n_bins))
+        got = np.asarray(weighted_bincount_hier(idxs, w, n_bins))
+        assert (got == ref).all(), name
+
+
 def test_weighted_bincount_sorted_exact_past_int32_total():
     """The wrapped-cumsum trick: the GLOBAL total overflows int32 but
     every per-bin sum stays < 2**31, so boundary diffs remain exact."""
