@@ -92,6 +92,13 @@ class EngineConfig:
     # 4096-lane floor; 1 disables chunking.
     gather_chunks: int = 4
 
+    # Chunks of the case-2 fresh-side broadcast and the case-3 pair-set
+    # test: the replicated (n_chips x width) all_gather transient shrinks
+    # to (n_chips x width/K) per step (the probe keeps only per-lane
+    # counts; the expansion re-gathers chunk by chunk and writes each
+    # chunk's matches at running per-lane offsets). 1 disables chunking.
+    broadcast_chunks: int = 4
+
     # Histogram-sized _dist_gather request capacity: per-destination
     # lanes start at ~2x the uniform share (power-of-two, >= 4096)
     # instead of the worst-case chunk length, with verify-and-retry on

@@ -212,7 +212,8 @@ class DistExecutor:
                             d_eq_mat(mesh, ax, slot_row[s1], slot_row[s2],
                                      False, colA, colB, mat, icnts,
                                      gchunks=self.config.gather_chunks,
-                                     gcap=cap)))
+                                     gcap=cap,
+                                     bchunks=self.config.broadcast_chunks)))
                 continue
 
             j1, j2 = s1 in slot_row, s2 in slot_row
@@ -223,7 +224,8 @@ class DistExecutor:
                         d_eq_mat(mesh, ax, slot_row[s1], slot_row[s2],
                                  True, colA, colB, mat, icnts,
                                  gchunks=self.config.gather_chunks,
-                                 gcap=cap)))
+                                 gcap=cap,
+                                 bchunks=self.config.broadcast_chunks)))
                 flags.append(flag)
                 continue
 
@@ -249,22 +251,25 @@ class DistExecutor:
                     full, fresh, colF, colG = s2, s1, colB, colA
                 def disp2(cap, full=full, colF=colF, colG=colG,
                           fresh=fresh):
-                    out = d_case2_probe(mesh, ax, slot_row[full], colF,
-                                        mat, icnts, colG, *live[fresh],
-                                        gchunks=self.config.gather_chunks,
-                                        gcap=cap)
+                    out = d_case2_probe(
+                        mesh, ax, slot_row[full], colF, mat, icnts, colG,
+                        *live[fresh], gchunks=self.config.gather_chunks,
+                        gcap=cap,
+                        bchunks=self.config.broadcast_chunks)
                     # the overflow flag rides the stats vector the probe
                     # reads back anyway: a bounded capacity costs no
                     # extra sync here
-                    st = np.asarray(out[6])
+                    st = np.asarray(out[4])
                     return (out, st), st[2] > 0
-                (frow_all, order, lo, off, cum, totals,
-                 _st), stats = self._gather_retry(mat.shape[1], disp2)
+                (lv, off, _cum, totals, _st), stats = self._gather_retry(
+                    mat.shape[1], disp2)
                 _, mx = self._probe_stats(stats)
                 if mx == 0:
                     return None
-                mat = d_case2_expand(mesh, ax, cat.bucket(mx), mat,
-                                     frow_all, order, lo, off, cum)
+                mat = d_case2_expand(
+                    mesh, ax, cat.bucket(mx), mat, lv, colG,
+                    *live[fresh], off,
+                    bchunks=self.config.broadcast_chunks)
                 icnts = totals
                 slot_row[fresh] = mat.shape[0] - 1
 

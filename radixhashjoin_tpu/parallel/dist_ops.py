@@ -280,16 +280,27 @@ def d_eq_rows(mesh, axis, colA, colB, rows, counts):
     return body(colA, colB, rows, counts)
 
 
+def _chunk_count(total: int, chunks: int) -> int:
+    """Largest power-of-two chunk count <= chunks dividing total."""
+    k = max(min(chunks, total), 1)
+    while total % k:
+        k //= 2
+    return k
+
+
 @partial(jax.jit, static_argnames=("mesh", "axis", "i1", "i2", "null_flag",
-                                   "gchunks", "gcap"))
+                                   "gchunks", "gcap", "bchunks"))
 def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
-             colA, colB, mat, icnts, gchunks: int = 1, gcap: int = 0):
+             colA, colB, mat, icnts, gchunks: int = 1, gcap: int = 0,
+             bchunks: int = 1):
     """Case 3 / joined same-slot: local row filter of the sharded
     intermediate. Intermediate rowids are global (the case-1 exchange
     moved them across chips), so both value gathers route through
     _dist_gather. With null_flag, also evaluates the reference's pair-set
-    NULL rule GLOBALLY (Query.cpp:188-191): v1 on one chip may match v2 on
-    another, so the other side's values are all_gathered first.
+    NULL rule GLOBALLY (Query.cpp:188-191): v1 on one chip may match v2
+    on another — the test all_gathers the other side's values in
+    `bchunks` width-chunks against this chip's sorted values, so the
+    replicated transient is (n_chips, w/K) instead of (n_chips, w).
 
     Output gains a trailing replicated gather-overflow flag (gcap > 0
     bounds _dist_gather's per-destination capacity; on True the caller
@@ -313,11 +324,21 @@ def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
         out = jnp.zeros_like(mat).at[:, pos].set(mat, mode="drop")
         if not null_flag:
             return out, cnt.reshape(1), ovf
-        v1s = jnp.where(live, v1, LEFT_SENTINEL)
+        v1sorted = jnp.sort(jnp.where(live, v1, LEFT_SENTINEL))
         v2s = jnp.where(live, v2, RIGHT_SENTINEL)
-        v2_all = jax.lax.all_gather(v2s, axis).reshape(-1)
-        *_, total = _flat_probe(v1s, v2_all)
-        nonempty = jax.lax.psum((total != 0).astype(jnp.int32), axis) > 0
+        K = _chunk_count(w, bchunks)
+        ck = w // K
+        found = jnp.array(False)
+        for k in range(K):
+            v2c = jax.lax.all_gather(
+                jax.lax.dynamic_slice_in_dim(v2s, k * ck, ck),
+                axis).reshape(-1)
+            lo = jnp.searchsorted(v1sorted, v2c, side="left",
+                                  method="sort")
+            hi = jnp.searchsorted(v1sorted, v2c, side="right",
+                                  method="sort")
+            found = found | jnp.any((hi > lo) & (v2c != RIGHT_SENTINEL))
+        nonempty = jax.lax.psum(found.astype(jnp.int32), axis) > 0
         return out, cnt.reshape(1), ~nonempty, ovf
     return body(colA, colB, mat, icnts)
 
@@ -423,26 +444,40 @@ def d_case1_expand(mesh, axis, out_cap: int, Lrow, Rrow, order, lo, off,
     return body(Lrow, Rrow, order, lo, off, cum)
 
 
+def _fresh_vals(col_fresh, frows, fc, axis):
+    """Sentinel-padded fresh-side values (chip-local live rowids)."""
+    capF = frows.shape[0]
+    jf = jax.lax.broadcasted_iota(jnp.int32, (capF,), 0)
+    return jnp.where(jf < fc[0],
+                     col_fresh[frows - _shard_base(col_fresh, axis)],
+                     RIGHT_SENTINEL)
+
+
 @partial(jax.jit, static_argnames=("mesh", "axis", "full_row", "gchunks",
-                                   "gcap"))
+                                   "gcap", "bchunks"))
 def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
                   col_fresh, frows, fcnts, gchunks: int = 1,
-                  gcap: int = 0):
+                  gcap: int = 0, bchunks: int = 1):
     """Case-2 probe: broadcast the (small, filtered) fresh side, probe the
     sharded intermediate locally — the 20M-row side never crosses ICI.
     The probe side's rowids are global, so its values arrive via
     _dist_gather; the fresh side's are chip-local.
-    Returns (frow_all replicated, order, lo, off, cum, totals, stats);
+
+    The fresh broadcast rides `bchunks` all_gather chunks probed one at a
+    time, so the replicated transient is (n_chips, capF/K) instead of
+    (n_chips, capF); only the per-lane match COUNTS survive the loop
+    (d_case2_expand re-gathers chunk by chunk and writes each chunk's
+    matches at running per-lane offsets — same multiset, chunk order).
+
+    Returns (lv sharded, off, cum, totals, stats);
     stats = [min_total, max_total, gather_overflow] (overflow > 0 =>
     re-dispatch with a larger gcap, DistExecutor._gather_retry)."""
     n = mesh.shape[axis]
 
-    # check_vma off: frow_all comes from all_gather, which IS replicated
-    # but the varying-mesh-axes checker cannot statically infer it
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(None, axis), P(axis), P(axis), P(axis),
                        P(axis)),
-             out_specs=(P(),) + (P(axis),) * 5 + (P(),), check_vma=False)
+             out_specs=(P(axis),) * 4 + (P(),))
     def body(col_full, mat, icnts, col_fresh, frows, fc):
         w = mat.shape[1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
@@ -450,33 +485,79 @@ def d_case2_probe(mesh, axis, full_row: int, col_full, mat, icnts,
         gv, ovf = _dist_gather(col_full, mat[full_row], live, axis, n,
                                gchunks, gcap)
         lv = jnp.where(live, gv, LEFT_SENTINEL)
+        fv = _fresh_vals(col_fresh, frows, fc, axis)
         capF = frows.shape[0]
-        jf = jax.lax.broadcasted_iota(jnp.int32, (capF,), 0)
-        fv = jnp.where(jf < fc[0],
-                       col_fresh[frows - _shard_base(col_fresh, axis)],
-                       RIGHT_SENTINEL)
-        fv_all = jax.lax.all_gather(fv, axis).reshape(-1)
-        frow_all = jax.lax.all_gather(frows, axis).reshape(-1)
-        order, lo, off, cum, total = _flat_probe(lv, fv_all)
+        K = _chunk_count(capF, bchunks)
+        ck = capF // K
+        counts = jnp.zeros(w, jnp.int32)
+        for k in range(K):
+            fv_c = jax.lax.all_gather(
+                jax.lax.dynamic_slice_in_dim(fv, k * ck, ck),
+                axis).reshape(-1)
+            fs = jnp.sort(fv_c)
+            lo = jnp.searchsorted(fs, lv, side="left",
+                                  method="sort").astype(jnp.int32)
+            hi = jnp.searchsorted(fs, lv, side="right",
+                                  method="sort").astype(jnp.int32)
+            counts = counts + jnp.where(lv >= 0, hi - lo, 0)
+        cum = jnp.cumsum(counts)
+        total = _total_or_overflow(cum)
         stats = jnp.stack([jax.lax.pmin(total, axis),
                            jax.lax.pmax(total, axis),
                            jax.lax.psum(ovf.astype(jnp.int32), axis)])
-        return frow_all, order, lo, off, cum, total.reshape(1), stats
+        return lv, cum - counts, cum, total.reshape(1), stats
     return body(col_full, mat, icnts, col_fresh, frows, fcnts)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "out_cap"))
-def d_case2_expand(mesh, axis, out_cap: int, mat, frow_all, order, lo, off,
-                   cum):
+@partial(jax.jit, static_argnames=("mesh", "axis", "out_cap", "bchunks"))
+def d_case2_expand(mesh, axis, out_cap: int, mat, lv, col_fresh, frows,
+                   fcnts, off, bchunks: int = 1):
     """Replicate each chip's intermediate rows per fresh match and attach
-    the fresh rowid row (gather formulation of intermediate.cpp:52-66)."""
+    the fresh rowid row (gather formulation of intermediate.cpp:52-66).
+
+    Chunked twin of d_case2_probe: re-gathers the fresh side in the same
+    `bchunks` chunks and expands each against the sharded intermediate.
+    Chunk k's matches for lane L land at positions
+    [running_k[L], running_k[L] + counts_k[L]) where running_k = off +
+    counts of chunks < k; running_k is monotone in L with non-overlapping
+    runs (off is the global per-lane cumsum), so expand_pairs' seed/
+    cummax ownership stays exact per chunk and positions outside chunk
+    k's runs are masked by the within-bounds test."""
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, axis), P()) + (P(axis),) * 4,
+             in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(axis),
+                       P(axis)),
              out_specs=P(None, axis))
-    def body(mat, frow_all, order, lo, off, cum):
-        li, ri = expand_pairs(order, lo, off, cum, out_cap)
-        return jnp.concatenate([mat[:, li], frow_all[ri][None]], axis=0)
-    return body(mat, frow_all, order, lo, off, cum)
+    def body(mat, lv, col_fresh, frows, fc, off):
+        fv = _fresh_vals(col_fresh, frows, fc, axis)
+        capF = frows.shape[0]
+        K = _chunk_count(capF, bchunks)
+        ck = capF // K
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
+        li_f = jnp.zeros(out_cap, jnp.int32)
+        fr_f = jnp.zeros(out_cap, jnp.int32)
+        running = off
+        for k in range(K):
+            sl = jax.lax.dynamic_slice_in_dim
+            fv_c = jax.lax.all_gather(sl(fv, k * ck, ck),
+                                      axis).reshape(-1)
+            frow_c = jax.lax.all_gather(sl(frows, k * ck, ck),
+                                        axis).reshape(-1)
+            order_k = jnp.argsort(fv_c).astype(jnp.int32)
+            fs = fv_c[order_k]
+            lo_k = jnp.searchsorted(fs, lv, side="left",
+                                    method="sort").astype(jnp.int32)
+            hi_k = jnp.searchsorted(fs, lv, side="right",
+                                    method="sort").astype(jnp.int32)
+            counts_k = jnp.where(lv >= 0, hi_k - lo_k, 0)
+            li_k, ri_k = expand_pairs(order_k, lo_k, running,
+                                      running + counts_k, out_cap)
+            within = kpos - running[li_k]
+            valid = (within >= 0) & (within < counts_k[li_k])
+            li_f = jnp.where(valid, li_k, li_f)
+            fr_f = jnp.where(valid, frow_c[ri_k], fr_f)
+            running = running + counts_k
+        return jnp.concatenate([mat[:, li_f], fr_f[None]], axis=0)
+    return body(mat, lv, col_fresh, frows, fcnts, off)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "row", "gchunks",

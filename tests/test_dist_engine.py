@@ -284,3 +284,44 @@ def test_dist_gather_capacity_retry(monkeypatch):
     cfg = EngineConfig(factorized=False)   # force the exchange pipeline
     ex = _check(rels, queries, cfg)
     assert ex.counters["gather_retries"] > 0
+
+
+def test_dist_broadcast_chunks_match_unchunked():
+    """The chunked case-2 fresh broadcast / case-3 pair-set test
+    (broadcast_chunks > 1: (n_chips, width/K) transients, per-chunk
+    expansion at running offsets) answers identically to the unchunked
+    path on queries driving every consumer — case 2 expansion order
+    differs per lane, but the multiset (and thus every SUM) must not."""
+    rng = np.random.default_rng(17)
+    n = 2000
+    rels = [Relation([rng.integers(0, 30, n).astype(np.uint64),
+                      rng.integers(0, 30, n).astype(np.uint64),
+                      rng.integers(0, 100, n).astype(np.uint64)]),
+            Relation([rng.integers(0, 30, 700).astype(np.uint64),
+                      rng.integers(0, 100, 700).astype(np.uint64)])]
+    queries = [
+        # case 1 -> case 2 (fresh broadcast, filtered) -> projections
+        Query([0, 1, 0],
+              [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
+              [FilterPred(2, 2, "<", 60)],
+              [Projection(2, 2), Projection(1, 1)]),
+        # case 1 -> case 3 (pair-set NULL gate over live values)
+        Query([0, 1], [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 1, 1)],
+              [], [Projection(0, 2), Projection(1, 1)]),
+        # pair set EMPTY -> NULL must survive chunking of the test
+        Query([0, 1], [JoinPred(0, 0, 1, 0), JoinPred(0, 2, 1, 1)],
+              [], [Projection(0, 2)]),
+    ]
+    outs = {}
+    for k in (1, 4):
+        cfg = EngineConfig(factorized=False, broadcast_chunks=k)
+        ex = DistExecutor(rels, cfg, n_devices=8)
+        outs[k] = [ex.execute(q) for q in queries]
+    assert outs[1] == outs[4]
+    oracle = OracleExecutor(rels)
+    for q, got in zip(queries, outs[4]):
+        want = oracle.execute(q)
+        assert (got is None) == (want is None)
+        if got is not None:
+            assert [s & ((1 << 64) - 1) for s in want] == [
+                s & ((1 << 64) - 1) for s in got]
