@@ -44,6 +44,14 @@ NARROW_MAX = 2**31 - 2
 
 _INT32_MAX = 2**31 - 1
 
+# Projection planes on HUGE single-chip columns store as uint16 when the
+# plane content fits 16 bits: at 2**30 rows an int32 plane is 4 GB of a
+# 16 GB v5e — the uint16 plane halves it, and the exact fold path needs
+# no change (utils/limbs.py:_channel_sums enters via astype(uint32),
+# which zero-extends unsigned planes). Gated on row count so the golden
+# workload and every non-wave consumer keep int32 planes.
+_NARROW_PLANE_MIN_ROWS = 1 << 28
+
 
 class DeviceCatalog:
     def __init__(self, relations: Sequence[Relation],
@@ -158,19 +166,31 @@ class DeviceCatalog:
         key = (rel_id, col)
         if key not in self._planes:
             rel = self.relations[rel_id]
+            # huge single-chip columns store 16-bit-fitting planes as
+            # uint16 (half the HBM; folds zero-extend via astype(uint32))
+            huge = (self.row_shard is None
+                    and rel.num_tuples > _NARROW_PLANE_MIN_ROWS)
             if self.dict_vals is None:
-                # identity encoding: the join/filter column IS the values
-                self._planes[key] = [(self.col(rel_id, col), 0)]
+                if huge and rel.stats[col].max < (1 << 16):
+                    self._planes[key] = [(self._put_rows(
+                        rel_id, rel.values[col].astype(np.uint16)), 0)]
+                else:
+                    # identity encoding: the join/filter column IS the
+                    # values
+                    self._planes[key] = [(self.col(rel_id, col), 0)]
             elif rel.stats[col].max <= _INT32_MAX:
+                dt = (np.uint16 if huge and rel.stats[col].max < (1 << 16)
+                      else np.int32)
                 self._planes[key] = [(self._put_rows(
-                    rel_id, rel.values[col].astype(np.int32)), 0)]
+                    rel_id, rel.values[col].astype(dt)), 0)]
             else:
                 host = rel.values[col]
                 hi = int(rel.stats[col].max).bit_length()
+                pdt = np.uint16 if huge else np.int32
                 planes = []
                 for shift in range(0, hi, 16):
                     p = ((host >> np.uint64(shift))
-                         & np.uint64(0xFFFF)).astype(np.int32)
+                         & np.uint64(0xFFFF)).astype(pdt)
                     planes.append((self._put_rows(rel_id, p), shift))
                 self._planes[key] = planes
         return self._planes[key]

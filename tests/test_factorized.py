@@ -295,3 +295,77 @@ def test_lazy_star_multi_edge_matches_oracle(monkeypatch):
     want = [format_result(oracle.execute(q), len(q.projections))
             for q in queries]
     assert got == want, (got, want)
+
+
+def test_narrow_uint16_planes_fold_exact(monkeypatch):
+    """Huge single-chip columns store 16-bit-fitting projection planes
+    as uint16 (models/device_catalog.py:_NARROW_PLANE_MIN_ROWS): half
+    the HBM at 2**30 rows, and every exact fold path must zero-extend
+    them unchanged (utils/limbs.py:_channel_sums enters via
+    astype(uint32)). Forced at test size; covers the identity catalog,
+    the dictionary catalog's single- and multi-plane (u64) branches,
+    and a >=2**16 identity column that must STAY int32."""
+    import numpy as np
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models import device_catalog
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.oracle import OracleExecutor, format_result
+    from radixhashjoin_tpu.ops import factorized
+    from radixhashjoin_tpu.storage import Relation
+    from radixhashjoin_tpu.utils import limbs
+    from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
+                                            Projection, Query)
+    monkeypatch.setattr(device_catalog, "_NARROW_PLANE_MIN_ROWS", 1024)
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 2048)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(7)
+    n = 3 * 4096 + 55
+    q = Query([0, 1], [JoinPred(0, 0, 1, 0)], [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 1), Projection(1, 1)])
+
+    def run(fact_vals):
+        fact = Relation([rng.integers(0, 400, n).astype(np.uint64),
+                         fact_vals])
+        dim = Relation([np.arange(400, dtype=np.uint64),
+                        rng.integers(0, 1000, 400).astype(np.uint64)])
+        engine = Engine([fact, dim], EngineConfig())
+        got = engine.run_workload([[q]])
+        want = [format_result(OracleExecutor([fact, dim]).execute(q), 2)]
+        assert got == want, (got, want)
+        assert engine.batch_executor.counters["ftree_queries"] == 1
+        return engine.batch_executor.catalog.proj_planes(0, 1)
+
+    # identity catalog, values < 2**16 -> one uint16 plane
+    planes = run(rng.integers(0, 1000, n).astype(np.uint64))
+    assert [(p.dtype, s) for p, s in planes] == [(np.dtype(np.uint16), 0)]
+
+    # identity catalog, values >= 2**16 -> stays int32 (shared col)
+    planes = run(rng.integers(0, 1 << 20, n).astype(np.uint64))
+    assert [(p.dtype, s) for p, s in planes] == [(np.dtype(np.int32), 0)]
+
+    # dictionary catalog (u64 values force it), narrow projected column
+    # -> one uint16 plane
+    wide = rng.integers(0, 1000, n).astype(np.uint64) + (1 << 40)
+    fact = Relation([rng.integers(0, 400, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    dim = Relation([np.arange(400, dtype=np.uint64), wide[:400]])
+    qs = [Query([0, 1], [JoinPred(0, 0, 1, 0)], [FilterPred(0, 1, "<", 900)],
+                [Projection(0, 1), Projection(1, 1)])]
+    engine = Engine([fact, dim], EngineConfig())
+    got = engine.run_workload([qs])
+    want = [format_result(OracleExecutor([fact, dim]).execute(qs[0]), 2)]
+    assert got == want, (got, want)
+    cat = engine.batch_executor.catalog
+    assert [p.dtype for p, _s in cat.proj_planes(0, 1)] == [np.uint16]
+    # the u64 dim column is small (400 rows) -> multi-plane int32
+    assert all(p.dtype == np.int32 for p, _s in cat.proj_planes(1, 1))
+
+    # dictionary catalog, HUGE u64 projected column -> uint16 planes
+    fact2 = Relation([rng.integers(0, 400, n).astype(np.uint64), wide])
+    engine = Engine([fact2, dim], EngineConfig())
+    got = engine.run_workload([[q]])
+    want = [format_result(OracleExecutor([fact2, dim]).execute(q), 2)]
+    assert got == want, (got, want)
+    cat = engine.batch_executor.catalog
+    pl = cat.proj_planes(0, 1)
+    assert len(pl) > 1 and all(p.dtype == np.uint16 for p, _s in pl)
