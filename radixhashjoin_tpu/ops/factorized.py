@@ -681,15 +681,46 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     flags, outs = [], []
     for t in trees:
         mask, msg_mask = t.mask, t.msg_mask
+        # the tree's projection folds, built BEFORE the flags so a lazy
+        # root flag can fuse into the root projection's fold loop
+        # (root_fold = outs index whose any(weight > 0) IS the flag:
+        # alpha[root] is always None, so that fold's weight is exactly
+        # beta[root] masked by msg_mask[root] — equal to the flag's
+        # beta > 0 & mask when no trailing selection retouched the root)
+        tree_outs, root_fold = [], None
+        for (i,), plane in zip(t.projs, t.planes):
+            m = _lazy_mul(t.beta[i], t.alpha[i])
+            n = plane.shape[0]
+            if isinstance(m, _Lazy):
+                # folds window by window; the mask (every distributed
+                # shard carries a validity mask) becomes a lazy factor,
+                # applied window by window too
+                if (i == t.root and t.tnode is None and root_fold is None
+                        and msg_mask[i] is mask[i]):
+                    root_fold = len(outs) + len(tree_outs)
+                tree_outs.append((plane, m.with_mask(msg_mask[i])))
+                continue
+            if m is None:
+                w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
+                     else msg_mask[i].astype(jnp.int32))
+            else:
+                w = (m if msg_mask[i] is None
+                     else jnp.where(msg_mask[i], m, 0))
+            tree_outs.append((plane, w))
         flags.extend(_none_anywhere(mask[i], axis) for i in t.flag_nodes)
         if t.root >= 0 and t.tnode is None:
             br, mr = t.beta[t.root], mask[t.root]
             if isinstance(br, _Lazy):
-                # any(weight > 0 & mask) without materializing the
-                # lazy product — windowed OR, O(window) memory instead
-                # of O(rows); works for any number of star edges
-                flags.append(_none_anywhere(
-                    _lazy_any_positive(br, mr, axis), axis))
+                if root_fold is not None:
+                    # fused: the fold loop emits any(weight > 0) for
+                    # free — zero extra passes over the huge node
+                    flags.append(("from_fold", root_fold))
+                else:
+                    # any(weight > 0 & mask) without materializing the
+                    # lazy product — windowed OR, O(window) memory
+                    # instead of O(rows); any number of star edges
+                    flags.append(_none_anywhere(
+                        _lazy_any_positive(br, mr, axis), axis))
             elif br is None:
                 flags.append(jnp.array(False) if mr is None
                              else _none_anywhere(mr, axis))
@@ -739,22 +770,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 # (Query.cpp:168-170) — NULL iff some JOIN emptied,
                 # i.e. the pre-selection multiset is empty
                 flags.append(_none_anywhere(part, axis))
-        for (i,), plane in zip(t.projs, t.planes):
-            m = _lazy_mul(t.beta[i], t.alpha[i])
-            n = plane.shape[0]
-            if isinstance(m, _Lazy):
-                # folds window by window; the mask (every distributed
-                # shard carries a validity mask) becomes a lazy factor,
-                # applied window by window too
-                outs.append((plane, m.with_mask(msg_mask[i])))
-                continue
-            if m is None:
-                w = (jnp.ones(n, jnp.int32) if msg_mask[i] is None
-                     else msg_mask[i].astype(jnp.int32))
-            else:
-                w = (m if msg_mask[i] is None
-                     else jnp.where(msg_mask[i], m, 0))
-            outs.append((plane, w))
+        outs.extend(tree_outs)
 
     # every projection folds through ONE segment-batched reduction:
     # segments concatenate with zero-gap padding to chunk multiples
@@ -770,12 +786,24 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         total = sum(plane.shape[0] for plane, _w in outs)
         if total > _BIG_WAVE_ROWS or any(
                 isinstance(w, _Lazy) for _, w in outs):
-            parts = (jnp.stack(
-                [weighted_partials_big(plane, weight_fn=w.window,
-                                       vary_axis=axis)
-                 if isinstance(w, _Lazy)
-                 else weighted_partials_big(plane, w, vary_axis=axis)
-                 for plane, w in outs]),)
+            want_any = {f[1] for f in flags if isinstance(f, tuple)}
+            folds, anyp = [], {}
+            for oi, (plane, w) in enumerate(outs):
+                if not isinstance(w, _Lazy):
+                    folds.append(weighted_partials_big(plane, w,
+                                                       vary_axis=axis))
+                elif oi in want_any:
+                    f, ap = weighted_partials_big(
+                        plane, weight_fn=w.window, vary_axis=axis,
+                        also_any_positive=True)
+                    folds.append(f)
+                    anyp[oi] = ap
+                else:
+                    folds.append(weighted_partials_big(
+                        plane, weight_fn=w.window, vary_axis=axis))
+            flags = [(_none_anywhere(anyp[f[1]], axis)
+                      if isinstance(f, tuple) else f) for f in flags]
+            parts = (jnp.stack(folds),)
             return tuple(flags), parts
         cseg = seg_chunk(total, len(outs))
         gap = jnp.zeros(cseg, jnp.int32)

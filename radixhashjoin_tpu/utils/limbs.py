@@ -252,7 +252,8 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
                           weight_keys=None,
                           weight_mask=None,
                           weight_fn=None,
-                          vary_axis=None) -> jax.Array:
+                          vary_axis=None,
+                          also_any_positive=False) -> jax.Array:
     """One exact u64 weighted sum over a HUGE vector, returning ONE
     (5, 3) fold decoding exactly like a weighted_partials_segments row.
     Length caps just below 2**31 rows: the window loop's start offsets
@@ -284,7 +285,13 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
     fold (every distributed shard seeds a validity mask) stays
     O(window) in temps. vary_axis: mesh axis name when called inside
     shard_map on per-chip data (the fori_loop carry init must be marked
-    device-varying to match the body's output type)."""
+    device-varying to match the body's output type).
+
+    also_any_positive: additionally return any(weight > 0) folded in
+    the SAME window loop, so a caller needing the emptiness bit (the
+    factorized root NULL flag) pays zero extra passes over the operands
+    — at 2**30 rows a separate flag loop re-gathers the whole weight
+    product (~10 s on the v5e gather engine). Returns (fold, bool)."""
     lazy = counts is None and weight_fn is None
     assert lazy == (weight_table is not None)
     assert weight_fn is None or (counts is None and weight_table is None)
@@ -307,6 +314,7 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
             c_full = weights_of(weight_keys) if lazy else counts
         if weight_mask is not None:
             c_full = jnp.where(weight_mask, c_full, 0)
+        anyp = jnp.any(c_full > 0) if also_any_positive else None
         pad = -n % chunk
         if pad:
             z = jnp.zeros(pad, jnp.int32)
@@ -330,31 +338,44 @@ def weighted_partials_big(vals: jax.Array, counts=None, *,
                 c = jnp.where(mk, c, 0)
             return c
 
-        def body(i, acc):
+        def body(i, carry):
             # the last window clamps to the aligned head; its start
             # stays chunk-aligned (n_al and w_rows are both multiples),
-            # so re-covered chunks rewrite the SAME sums (idempotent)
+            # so re-covered chunks rewrite the SAME sums (idempotent —
+            # and OR over re-covered rows is idempotent for anyp too)
+            acc, ap = carry
             start = jnp.minimum(i * w_rows, n_al - w_rows)
             v = jax.lax.dynamic_slice(vals, (start,), (w_rows,))
-            ch_w = _channel_sums(v, window_weights(start, w_rows), chunk)
-            return jax.lax.dynamic_update_slice(acc, ch_w,
-                                                (0, start // chunk))
+            c = window_weights(start, w_rows)
+            if also_any_positive:
+                ap = ap | jnp.any(c > 0)
+            ch_w = _channel_sums(v, c, chunk)
+            return (jax.lax.dynamic_update_slice(acc, ch_w,
+                                                 (0, start // chunk)), ap)
         acc0 = jnp.zeros((5, m), jnp.int32)
+        ap0 = jnp.array(False)
         if vary_axis is not None:
             acc0 = jax.lax.pcast(acc0, vary_axis, to="varying")
-        ch = jax.lax.fori_loop(0, nw, body, acc0)
+            ap0 = jax.lax.pcast(ap0, vary_axis, to="varying")
+        ch, anyp = jax.lax.fori_loop(0, nw, body, (acc0, ap0))
+        if not also_any_positive:
+            anyp = None
         if n_al < n:
             # ragged tail: fold the LAST chunk of rows, masking the
             # part already covered by the aligned head
+            live_from = np.int32(n_al - (n - chunk))
             v = jax.lax.dynamic_slice(vals, (n - chunk,), (chunk,))
-            tail = _channel_sums(v, window_weights(np.int32(n - chunk),
-                                                   chunk), chunk,
-                                 live_from=np.int32(n_al - (n - chunk)))
+            c = window_weights(np.int32(n - chunk), chunk)
+            if also_any_positive:
+                idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+                anyp = anyp | jnp.any((idx >= live_from) & (c > 0))
+            tail = _channel_sums(v, c, chunk, live_from=live_from)
             ch = jnp.concatenate([ch, tail], axis=1)
     lo = (ch & 0x7FF).sum(axis=1, dtype=jnp.int32)
     mid = ((ch >> SEG_SHIFT) & 0x7FF).sum(axis=1, dtype=jnp.int32)
     hi = (ch >> (2 * SEG_SHIFT)).sum(axis=1, dtype=jnp.int32)
-    return jnp.stack([lo, mid, hi], axis=-1)        # (5, 3)
+    fold = jnp.stack([lo, mid, hi], axis=-1)        # (5, 3)
+    return (fold, anyp) if also_any_positive else fold
 
 
 _W_WEIGHTS = (1, 1 << 16, 1 << 16, 1 << 32, 1 << 32)
