@@ -126,6 +126,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import limbs as _limbs
 from ..utils.limbs import (seg_chunk, weighted_partials_big,
                            weighted_partials_segments)
 from .filter import OP_EQ, OP_LT
@@ -143,7 +144,7 @@ class _Tree:
                  "tsel_a", "tsel_b",
                  "pkey", "ckey", "pre", "children", "boolean",
                  "beta", "contrib", "alpha", "planes",
-                 "by_height", "by_depth")
+                 "by_height", "by_depth", "done_folds", "done_flag")
 
 
 def _parse_spec(spec, cols, vals, shard=None):
@@ -266,6 +267,8 @@ def _parse_spec(spec, cols, vals, shard=None):
     t.beta = [None] * k
     t.alpha = [None] * k
     t.contrib = [None] * len(edges)
+    t.done_folds = {}        # proj index -> (5, 3) fold from a fused pass
+    t.done_flag = None       # per-chip any(weight > 0) from a fused pass
 
     # static schedules. height(e) = 1 + max height of the child node's
     # incoming edges (bottom-up order makes this a single sweep); a
@@ -316,6 +319,17 @@ def _win_guard(n: int) -> None:
             f"addressing); got {n}")
 
 
+def _slice_cached(arr, start, size, cache):
+    """dynamic_slice with per-window CSE: the same operand sliced by
+    several consumers of a fused pass reads HBM once."""
+    if cache is None:
+        return jax.lax.dynamic_slice(arr, (start,), (size,))
+    ck = ("s", id(arr))
+    if ck not in cache:
+        cache[ck] = jax.lax.dynamic_slice(arr, (start,), (size,))
+    return cache[ck]
+
+
 class _Lazy:
     """An unmaterialized per-row weight over a HUGE node: the
     elementwise product of window-evaluable factors.
@@ -355,22 +369,34 @@ class _Lazy:
         return (self if bvec is None
                 else _Lazy(self.n, self.factors + [("mask", bvec)]))
 
-    def _parts(self, start, size):
+    def _parts(self, start, size, cache=None):
         for f in self.factors:
             if f[0] == "gather":
                 _tag, table, keys, off, clamp = f
-                k = jax.lax.dynamic_slice(keys, (start,), (size,))
+                k = _slice_cached(keys, start, size, cache)
+                ck = ("g", id(table), id(keys), int(off), clamp)
+                if cache is not None and ck in cache:
+                    yield cache[ck], clamp
+                    continue
                 g = table.at[k + off].get(mode="promise_in_bounds")
-                yield ((g > 0) if clamp else g), clamp
+                g = (g > 0) if clamp else g
+                if cache is not None:
+                    cache[ck] = g
+                yield g, clamp
             elif f[0] == "mat":
-                yield jax.lax.dynamic_slice(f[1], (start,), (size,)), False
+                yield _slice_cached(f[1], start, size, cache), False
             else:
-                yield jax.lax.dynamic_slice(f[1], (start,), (size,)), True
+                yield _slice_cached(f[1], start, size, cache), True
 
-    def window(self, start, size):
-        """int32 weights for rows [start, start+size)."""
+    def window(self, start, size, cache=None):
+        """int32 weights for rows [start, start+size). `cache` (optional
+        dict): per-window common-subexpression store shared across the
+        consumers of one fused pass — a gather factor or operand slice
+        evaluated once per window is reused by every consumer that
+        shares it (the star join's A builds and projection folds gather
+        the SAME message tables)."""
         w = msk = None
-        for g, is_bool in self._parts(start, size):
+        for g, is_bool in self._parts(start, size, cache):
             if is_bool:
                 msk = g if msk is None else msk & g
             else:
@@ -479,6 +505,111 @@ def _scatter_add_big(width, key, off, weight, mask, sent, axis=None):
                    live_from=np.int32(n_full * w_rows))
         acc = acc.at[k].add(w, mode="drop")
     return acc
+
+
+def _fused_node_pass(n, scatters, folds, flag_idx, axis):
+    """ONE window loop over a huge node serving every consumer at once:
+    message-table scatter builds (the down-pass A slices), exact
+    projection folds, and the root NULL flag. Each window slices the
+    operands and evaluates every shared lazy gather factor ONCE
+    (`_Lazy.window(cache=...)`) — on a star fact node the A build for
+    edge 1 gathers edge 2's message table and vice versa, and the
+    projection fold gathers BOTH: unfused that is four full passes
+    through the v5e gather engine (~9 ns/element — ~10 s each at 2**30
+    rows), fused it is two. The TPU-native analog of the reference
+    probing all partitions of a bucket in one sweep
+    (/root/reference/structs.cpp:111-134 + intermediate.cpp:146-183).
+
+    scatters: [(width, key, off, weight, mask, sent)] — semantics of
+        _scatter_add_big (weight: None | vector | _Lazy).
+    folds: [(plane, lazy_weight)] — the lazy weight already carries its
+        msg_mask factor; returns weighted_partials_segments-style (5, 3)
+        folds (decode with combine_weighted_segments).
+    flag_idx: folds index whose any(weight > 0) is also wanted (the
+        root emptiness bit), or None.
+    Returns ([A_i], [fold_i], anyp_or_None). Exactness: full windows
+    are disjoint; the ragged tail re-runs the LAST w_rows with rows
+    already covered masked to zero weight (scatter adds zero, fold
+    channels zero via live_from, OR unaffected) — the same discipline
+    as _scatter_add_big / weighted_partials_big, here sharing one loop.
+    """
+    _win_guard(n)
+    chunk = seg_chunk(n, 1) if folds else 1
+    w_rows = max(_win_rows(), chunk)
+    n_full = n // w_rows
+    m = (n_full * w_rows) // chunk if folds else 0
+
+    def eval_win(start, size, live_rel=None):
+        cache = {}
+        idx = (None if live_rel is None
+               else jax.lax.broadcasted_iota(jnp.int32, (size,), 0))
+        sc = []
+        for (width, key, off, weight, mask, sent) in scatters:
+            k = _slice_cached(key, start, size, cache) + off
+            if isinstance(weight, _Lazy):
+                w = weight.window(start, size, cache)
+            elif weight is None:
+                w = jnp.ones(size, jnp.int32)
+            else:
+                w = _slice_cached(weight, start, size, cache)
+            if mask is not None:
+                mk = _slice_cached(mask, start, size, cache)
+                k = jnp.where(mk, k, sent)
+                w = jnp.where(mk, w, 0)
+            if live_rel is not None:
+                w = jnp.where(idx >= live_rel, w, 0)
+            sc.append((k, w))
+        fc, anyp = [], None
+        for fi, (plane, lz) in enumerate(folds):
+            c = lz.window(start, size, cache)
+            if flag_idx == fi:
+                cp = c if live_rel is None else jnp.where(idx >= live_rel,
+                                                          c, 0)
+                anyp = jnp.any(cp > 0)
+            v = _slice_cached(plane, start, size, cache)
+            fc.append(_limbs._channel_sums(v, c, chunk,
+                                           live_from=live_rel))
+        return sc, fc, anyp
+
+    def body(i, carry):
+        accA, accF, flg = carry
+        start = i * w_rows
+        sc, fc, ap = eval_win(start, w_rows)
+        accA = tuple(a.at[k].add(w, mode="drop")
+                     for a, (k, w) in zip(accA, sc))
+        accF = tuple(jax.lax.dynamic_update_slice(a, cols,
+                                                  (0, start // chunk))
+                     for a, cols in zip(accF, fc))
+        if ap is not None:
+            flg = flg | ap
+        return (accA, accF, flg)
+
+    accA = tuple(_vary(jnp.zeros(s[0], jnp.int32), axis)
+                 for s in scatters)
+    accF = tuple(_vary(jnp.zeros((5, m), jnp.int32), axis) for _ in folds)
+    flg = _vary(jnp.array(False), axis)
+    accA, accF, flg = jax.lax.fori_loop(0, n_full, body, (accA, accF, flg))
+    chs = list(accF)
+    if n_full * w_rows < n:
+        live_rel = np.int32(n_full * w_rows - (n - w_rows))
+        sc, fc, ap = eval_win(np.int32(n - w_rows), w_rows,
+                              live_rel=live_rel)
+        accA = tuple(a.at[k].add(w, mode="drop")
+                     for a, (k, w) in zip(accA, sc))
+        chs = [jnp.concatenate([a, cols], axis=1)
+               for a, cols in zip(chs, fc)]
+        if ap is not None:
+            flg = flg | ap
+
+    def finish(ch):
+        lo = (ch & 0x7FF).sum(axis=1, dtype=jnp.int32)
+        mid = ((ch >> _limbs.SEG_SHIFT) & 0x7FF).sum(axis=1,
+                                                     dtype=jnp.int32)
+        hi = (ch >> (2 * _limbs.SEG_SHIFT)).sum(axis=1, dtype=jnp.int32)
+        return jnp.stack([lo, mid, hi], axis=-1)
+
+    return (list(accA), [finish(ch) for ch in chs],
+            flg if flag_idx is not None else None)
 
 
 def _none_anywhere(x, axis):
@@ -653,14 +784,47 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             if axis is not None:
                 Ab = jax.lax.psum(Ab, axis)
             parts.append(Ab)
+        # huge-parent edges: ONE fused window pass per (tree, parent)
+        # builds all of the node's A slices, folds its projections, and
+        # emits its NULL flag, sharing every per-window gather factor
+        # (_fused_node_pass) — a star fact's sibling-contrib gathers and
+        # its projection-weight gathers are the same tables
+        groups: dict = {}
         for (t, ei) in bg:
-            p, _c, _pre, _nd, w_edge = t.edges[ei]
-            Ah = _scatter_add_big(w_edge, t.pkey[ei], 0,
-                                  down_weight(t, ei), t.msg_mask[p],
-                                  np.int32(w_edge), axis)
-            if axis is not None:
-                Ah = jax.lax.psum(Ah, axis)
-            parts.append(Ah)
+            groups.setdefault((id(t), t.edges[ei][0]), (t, []))[1]\
+                .append(ei)
+        part_of = {}
+        for (_tid, p), (t, eis) in groups.items():
+            n_node = t.pkey[eis[0]].shape[0]
+            scats = []
+            for ei in eis:
+                w_edge = t.edges[ei][4]
+                scats.append((w_edge, t.pkey[ei], np.int32(0),
+                              down_weight(t, ei), t.msg_mask[p],
+                              np.int32(w_edge)))
+            folds, fold_pi, flag_idx = [], [], None
+            for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
+                if i != p or pi in t.done_folds:
+                    continue
+                m_ = _lazy_mul(t.beta[i], t.alpha[i])
+                if not isinstance(m_, _Lazy):
+                    continue
+                if (i == t.root and t.tnode is None and flag_idx is None
+                        and t.msg_mask[i] is t.mask[i]):
+                    flag_idx = len(folds)
+                folds.append((plane, m_.with_mask(t.msg_mask[i])))
+                fold_pi.append(pi)
+            A_list, fold_list, anyp = _fused_node_pass(
+                n_node, scats, folds, flag_idx, axis)
+            for ei, Ah in zip(eis, A_list):
+                if axis is not None:
+                    Ah = jax.lax.psum(Ah, axis)
+                part_of[(id(t), ei)] = Ah
+            for pi, f in zip(fold_pi, fold_list):
+                t.done_folds[pi] = f
+            if anyp is not None:
+                t.done_flag = anyp
+        parts.extend(part_of[(id(t), ei)] for (t, ei) in bg)
         A = _concat(parts)
         gks, meta = [], []
         for (t, ei) in sm + bg:
@@ -688,7 +852,12 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         # beta[root] masked by msg_mask[root] — equal to the flag's
         # beta > 0 & mask when no trailing selection retouched the root)
         tree_outs, root_fold = [], None
-        for (i,), plane in zip(t.projs, t.planes):
+        for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
+            if pi in t.done_folds:
+                # already folded inside the down-pass's fused window
+                # loop (_fused_node_pass) — zero extra passes
+                tree_outs.append(("done", t.done_folds[pi]))
+                continue
             m = _lazy_mul(t.beta[i], t.alpha[i])
             n = plane.shape[0]
             if isinstance(m, _Lazy):
@@ -710,7 +879,10 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         flags.extend(_none_anywhere(mask[i], axis) for i in t.flag_nodes)
         if t.root >= 0 and t.tnode is None:
             br, mr = t.beta[t.root], mask[t.root]
-            if isinstance(br, _Lazy):
+            if t.done_flag is not None:
+                # emitted by the fused down-pass window loop
+                flags.append(_none_anywhere(t.done_flag, axis))
+            elif isinstance(br, _Lazy):
                 if root_fold is not None:
                     # fused: the fold loop emits any(weight > 0) for
                     # free — zero extra passes over the huge node
@@ -783,13 +955,17 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     # fori_loop reads straight out of the operands).
     parts = ()
     if outs:
-        total = sum(plane.shape[0] for plane, _w in outs)
-        if total > _BIG_WAVE_ROWS or any(
-                isinstance(w, _Lazy) for _, w in outs):
+        total = sum(plane.shape[0] for plane, _w in outs
+                    if not isinstance(plane, str))
+        if (total > _BIG_WAVE_ROWS
+                or any(isinstance(w, _Lazy) for _, w in outs)
+                or any(isinstance(p, str) for p, _w in outs)):
             want_any = {f[1] for f in flags if isinstance(f, tuple)}
             folds, anyp = [], {}
             for oi, (plane, w) in enumerate(outs):
-                if not isinstance(w, _Lazy):
+                if isinstance(plane, str):       # ("done", fused fold)
+                    folds.append(w)
+                elif not isinstance(w, _Lazy):
                     folds.append(weighted_partials_big(plane, w,
                                                        vary_axis=axis))
                 elif oi in want_any:
