@@ -851,11 +851,37 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         # alpha[root] is always None, so that fold's weight is exactly
         # beta[root] masked by msg_mask[root] — equal to the flag's
         # beta > 0 & mask when no trailing selection retouched the root)
+        # nodes with SEVERAL pending lazy folds (a u64 column's 16-bit
+        # planes, or several projected columns of one huge node) fold in
+        # one fused window pass sharing the weight-product gathers,
+        # instead of one weighted_partials_big loop per plane
+        by_node: dict = {}
+        for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
+            if pi in t.done_folds:
+                continue
+            m = _lazy_mul(t.beta[i], t.alpha[i])
+            if isinstance(m, _Lazy):
+                by_node.setdefault(i, []).append((pi, plane, m))
+        for i, lst in by_node.items():
+            if len(lst) < 2:
+                continue
+            flag_idx = (0 if (i == t.root and t.tnode is None
+                              and t.done_flag is None
+                              and msg_mask[i] is mask[i]) else None)
+            _al, fold_list, anyp = _fused_node_pass(
+                lst[0][1].shape[0], [],
+                [(plane, m.with_mask(msg_mask[i]))
+                 for (_pi, plane, m) in lst], flag_idx, axis)
+            for (pi, _plane, _m), f in zip(lst, fold_list):
+                t.done_folds[pi] = f
+            if anyp is not None:
+                t.done_flag = anyp
+
         tree_outs, root_fold = [], None
         for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
             if pi in t.done_folds:
-                # already folded inside the down-pass's fused window
-                # loop (_fused_node_pass) — zero extra passes
+                # already folded inside a fused window loop
+                # (_fused_node_pass) — zero extra passes
                 tree_outs.append(("done", t.done_folds[pi]))
                 continue
             m = _lazy_mul(t.beta[i], t.alpha[i])
