@@ -462,7 +462,8 @@ def _lazy_any_positive(lz: _Lazy, mask, axis=None):
     return jax.lax.fori_loop(0, nw, body, _vary(jnp.array(False), axis))
 
 
-def _scatter_add_big(width, key, off, weight, mask, sent, axis=None):
+def _scatter_add_big(width, key, off, weight, mask, sent, axis=None,
+                     impl="xla"):
     """zeros(width).at[key + off (masked -> sent)].add(weight) for a
     HUGE key vector, window by window: the scatter's full-length
     broadcast-update / index-select temps (2x 4 GB at 2**30 rows) and
@@ -471,6 +472,7 @@ def _scatter_add_big(width, key, off, weight, mask, sent, axis=None):
     idempotent, so the ragged tail re-scatters the LAST w_rows with the
     already-covered head masked to zero weight (live_from), unlike the
     idempotent rewrite the fold/any loops use."""
+    from .tables import scatter_add_window
     n = key.shape[0]
     _win_guard(n)
     w_rows = _win_rows()
@@ -497,17 +499,17 @@ def _scatter_add_big(width, key, off, weight, mask, sent, axis=None):
 
     def body(i, acc):
         k, w = win(i * w_rows, w_rows)
-        return acc.at[k].add(w, mode="drop")
+        return scatter_add_window(acc, k, w, impl)
     acc = jax.lax.fori_loop(0, n_full, body,
                             _vary(jnp.zeros(width, jnp.int32), axis))
     if n_full * w_rows < n:
         k, w = win(np.int32(n - w_rows), w_rows,
                    live_from=np.int32(n_full * w_rows))
-        acc = acc.at[k].add(w, mode="drop")
+        acc = scatter_add_window(acc, k, w, impl)
     return acc
 
 
-def _fused_node_pass(n, scatters, folds, flag_idx, axis):
+def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla"):
     """ONE window loop over a huge node serving every consumer at once:
     message-table scatter builds (the down-pass A slices), exact
     projection folds, and the root NULL flag. Each window slices the
@@ -533,6 +535,7 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis):
     channels zero via live_from, OR unaffected) — the same discipline
     as _scatter_add_big / weighted_partials_big, here sharing one loop.
     """
+    from .tables import scatter_add_window
     _win_guard(n)
     chunk = seg_chunk(n, 1) if folds else 1
     w_rows = max(_win_rows(), chunk)
@@ -575,7 +578,7 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis):
         accA, accF, flg = carry
         start = i * w_rows
         sc, fc, ap = eval_win(start, w_rows)
-        accA = tuple(a.at[k].add(w, mode="drop")
+        accA = tuple(scatter_add_window(a, k, w, impl)
                      for a, (k, w) in zip(accA, sc))
         accF = tuple(jax.lax.dynamic_update_slice(a, cols,
                                                   (0, start // chunk))
@@ -594,7 +597,7 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis):
         live_rel = np.int32(n_full * w_rows - (n - w_rows))
         sc, fc, ap = eval_win(np.int32(n - w_rows), w_rows,
                               live_rel=live_rel)
-        accA = tuple(a.at[k].add(w, mode="drop")
+        accA = tuple(scatter_add_window(a, k, w, impl)
                      for a, (k, w) in zip(accA, sc))
         chs = [jnp.concatenate([a, cols], axis=1)
                for a, cols in zip(chs, fc)]
@@ -702,7 +705,8 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         for (t, ei) in bg:
             _p, c, _pre, _nd, w = t.edges[ei]
             Bb = _scatter_add_big(w, t.ckey[ei], 0, t.beta[c],
-                                  t.msg_mask[c], np.int32(w), axis)
+                                  t.msg_mask[c], np.int32(w), axis,
+                                  impl=scatter)
             if axis is not None:
                 Bb = jax.lax.psum(Bb, axis)
             parts.append(Bb)
@@ -815,7 +819,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 folds.append((plane, m_.with_mask(t.msg_mask[i])))
                 fold_pi.append(pi)
             A_list, fold_list, anyp = _fused_node_pass(
-                n_node, scats, folds, flag_idx, axis)
+                n_node, scats, folds, flag_idx, axis, impl=scatter)
             for ei, Ah in zip(eis, A_list):
                 if axis is not None:
                     Ah = jax.lax.psum(Ah, axis)

@@ -279,9 +279,16 @@ def weighted_bincount_onehot(idxs, weights, n_bins: int,
 def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
     """Dispatch B = zeros(n_bins).at[idxs].add(weights, mode='drop')."""
     if impl == "auto":
-        impl = ("mxu" if _measured_tpu()
-                and n_bins <= MXU_SCATTER_MAX_BINS
-                and idxs.shape[0] >= ONEHOT_MIN_ROWS else "xla")
+        if not _measured_tpu() or idxs.shape[0] < ONEHOT_MIN_ROWS:
+            impl = "xla"
+        elif n_bins <= MXU_SCATTER_MAX_BINS:
+            impl = "mxu"
+        else:
+            # wide tables: the hierarchical build (one carrying sort +
+            # blocked MXU sub-tables + window scatters) measured 260 M
+            # updates/s vs the ~175 M/s scatter engine at 2^16..2^21
+            # bins (EVIDENCE_r04, 16.7M rows, v5e)
+            impl = "hier"
     if impl == "mxu":
         return weighted_bincount_mxu(idxs, weights, n_bins)
     if impl == "hier":
@@ -292,6 +299,32 @@ def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
         return weighted_bincount_onehot(idxs, weights, n_bins,
                                         interpret=not _on_tpu())
     return weighted_bincount_xla(idxs, weights, n_bins)
+
+
+def scatter_add_window(acc, idxs, weights, impl: str = "xla"):
+    """acc.at[idxs].add(weights, mode='drop') for ONE window of a huge
+    message build (the windowed fori_loop bodies of
+    ops/factorized.py:_scatter_add_big / _fused_node_pass), routed by
+    the same measured policy as scatter_table: int8-MXU one-hot limb
+    matmuls at narrow widths, the hierarchical sort+MXU build at wide
+    widths, the scatter engine otherwise. Both kernels drop
+    out-of-range indices exactly like mode='drop' (the huge paths'
+    masked-row sentinel is n_bins), so accumulation into `acc` is
+    bit-identical; per-bin totals stay < 2**31 under the planner's
+    overflow caps, the kernels' caller contract."""
+    n_bins = acc.shape[0]
+    if impl == "auto":
+        if not _measured_tpu() or idxs.shape[0] < ONEHOT_MIN_ROWS:
+            impl = "xla"
+        elif n_bins <= MXU_SCATTER_MAX_BINS:
+            impl = "mxu"
+        else:
+            impl = "hier"
+    if impl == "mxu":
+        return acc + weighted_bincount_mxu(idxs, weights, n_bins)
+    if impl == "hier":
+        return acc + weighted_bincount_hier(idxs, weights, n_bins)
+    return acc.at[idxs].add(weights, mode="drop")
 
 
 # ---- gather (table lookup) ----

@@ -369,3 +369,39 @@ def test_narrow_uint16_planes_fold_exact(monkeypatch):
     cat = engine.batch_executor.catalog
     pl = cat.proj_planes(0, 1)
     assert len(pl) > 1 and all(p.dtype == np.uint16 for p, _s in pl)
+
+
+def test_huge_star_with_hier_window_scatter(monkeypatch):
+    """The huge-node window loops route their per-window table builds
+    through scatter_add_window; forcing the hierarchical kernel
+    (ftree_scatter='hier' — what 'auto' picks on a measured TPU at wide
+    widths) must stay exact through the full engine."""
+    import numpy as np
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.oracle import OracleExecutor, format_result
+    from radixhashjoin_tpu.ops import factorized
+    from radixhashjoin_tpu.storage import Relation
+    from radixhashjoin_tpu.utils import limbs
+    from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
+                                            Projection, Query)
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 2048)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(5)
+    n = 4 * 4096 + 33
+    fact = Relation([rng.integers(0, 300, n).astype(np.uint64),
+                     rng.integers(0, 200, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    d1 = Relation([np.arange(300, dtype=np.uint64),
+                   rng.integers(0, 1000, 300).astype(np.uint64)])
+    d2 = Relation([np.arange(200, dtype=np.uint64),
+                   rng.integers(0, 1000, 200).astype(np.uint64)])
+    rels = [fact, d1, d2]
+    q = Query([0, 1, 2], [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)],
+              [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 2), Projection(1, 1), Projection(2, 1)])
+    engine = Engine(rels, EngineConfig(ftree_scatter="hier"))
+    got = engine.run_workload([[q]])
+    want = [format_result(OracleExecutor(rels).execute(q), 3)]
+    assert got == want, (got, want)
+    assert engine.batch_executor.counters["ftree_queries"] == 1

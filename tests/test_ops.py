@@ -223,3 +223,25 @@ def test_kernel_policy_gated_on_measured_device_kind(monkeypatch):
     # CPU backend never engages the measured-kind paths
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert tables._measured_tpu() is False
+
+
+def test_scatter_add_window_impls_exact():
+    """scatter_add_window (the huge-build window-loop kernel router)
+    must accumulate bit-identically to acc.at[idx].add(mode='drop') for
+    every impl, including the masked-row sentinel (idx == n_bins) and a
+    nonzero running accumulator."""
+    import jax.numpy as jnp
+    import numpy as np
+    from radixhashjoin_tpu.ops.tables import scatter_add_window
+    rng = np.random.default_rng(11)
+    n, n_bins = 8192, 1 << 14
+    idx = rng.integers(0, n_bins, n).astype(np.int32)
+    idx[::7] = n_bins                      # drop sentinel
+    w = rng.integers(0, 1000, n).astype(np.int32)
+    acc0 = jnp.asarray(rng.integers(0, 50, n_bins).astype(np.int32))
+    want = np.asarray(scatter_add_window(acc0, jnp.asarray(idx),
+                                         jnp.asarray(w), "xla"))
+    for impl in ("mxu", "hier"):
+        got = np.asarray(scatter_add_window(acc0, jnp.asarray(idx),
+                                            jnp.asarray(w), impl))
+        assert (got == want).all(), impl
