@@ -87,7 +87,11 @@ class DistExecutor:
         if not self.config.gather_capacity:
             return 0
         c = 4096
-        share = 2 * m // self.n + 1
+        # ceil(2m/n), NOT 2m//n + 1: on the all-power-of-two shapes the
+        # bucketing policy produces, the +1 pushed c to the next power
+        # of two (4x the uniform share) and the shrink guard below then
+        # disabled the capacity entirely for n <= 8 meshes
+        share = -(-2 * m // self.n)
         while c < share:
             c *= 2
         return 0 if 2 * c >= m else c
