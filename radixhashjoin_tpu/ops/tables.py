@@ -304,22 +304,27 @@ def scatter_table(idxs, weights, n_bins: int, impl: str = "xla"):
 def scatter_add_window(acc, idxs, weights, impl: str = "xla"):
     """acc.at[idxs].add(weights, mode='drop') for ONE window of a huge
     message build (the windowed fori_loop bodies of
-    ops/factorized.py:_scatter_add_big / _fused_node_pass), routed by
-    the same measured policy as scatter_table: int8-MXU one-hot limb
-    matmuls at narrow widths, the hierarchical sort+MXU build at wide
-    widths, the scatter engine otherwise. Both kernels drop
-    out-of-range indices exactly like mode='drop' (the huge paths'
-    masked-row sentinel is n_bins), so accumulation into `acc` is
-    bit-identical; per-bin totals stay < 2**31 under the planner's
-    overflow caps, the kernels' caller contract."""
+    ops/factorized.py:_scatter_add_big / _fused_node_pass): int8-MXU
+    one-hot limb matmuls at narrow widths, the scatter engine at wide
+    widths. The kernels drop out-of-range indices exactly like
+    mode='drop' (the huge paths' masked-row sentinel is n_bins), so
+    accumulation into `acc` is bit-identical; per-bin totals stay
+    < 2**31 under the planner's overflow caps, the kernels' caller
+    contract.
+
+    Wide windows deliberately DIFFER from scatter_table's one-shot
+    policy: hier wins one-shot at 16.7M rows (260 vs 175 M updates/s)
+    but measured SLOWER inside the 2^26-row window loops — the 1B-row
+    zipf engine run regressed 16.7 s -> 23.2 s with hier windows
+    (EVIDENCE_r04): a carrying sort paid once per build amortizes; one
+    per window does not. "hier" stays available explicitly."""
     n_bins = acc.shape[0]
     if impl == "auto":
-        if not _measured_tpu() or idxs.shape[0] < ONEHOT_MIN_ROWS:
+        if (not _measured_tpu() or idxs.shape[0] < ONEHOT_MIN_ROWS
+                or n_bins > MXU_SCATTER_MAX_BINS):
             impl = "xla"
-        elif n_bins <= MXU_SCATTER_MAX_BINS:
-            impl = "mxu"
         else:
-            impl = "hier"
+            impl = "mxu"
     if impl == "mxu":
         return acc + weighted_bincount_mxu(idxs, weights, n_bins)
     if impl == "hier":

@@ -234,12 +234,21 @@ class DistExecutor:
                 continue
 
             if not j1 and not j2:
-                # case 1: skew-aware cross-chip exchange (wipes others)
-                (Lrow, Rrow, order, lo, off, cum, totals,
-                 stats) = d_case1_probe(mesh, ax,
-                                        self.config.skew_heavy_fraction,
-                                        self.config.exchange_chunks,
-                                        colA, colB, *live[s1], *live[s2])
+                # case 1: skew-aware cross-chip exchange (wipes others);
+                # histogram-sized exchange capacity with verify-retry
+                # (d_case1_probe ecap) replaces the worst-case buffers
+                def disp1(cap):
+                    out = d_case1_probe(
+                        mesh, ax, self.config.skew_heavy_fraction,
+                        self.config.exchange_chunks, colA, colB,
+                        *live[s1], *live[s2], ecap=cap)
+                    st = np.asarray(out[7])
+                    return (out, st), st[2] > 0
+                # capacity semantics are PER-CHIP rows (the probe's capL)
+                ((Lrow, Rrow, order, lo, off, cum, totals, _st),
+                 stats) = self._gather_retry(
+                    max(live[s1][0].shape[0],
+                        live[s2][0].shape[0]) // self.n, disp1)
                 _, mx = self._probe_stats(stats)
                 if mx == 0:
                     return None

@@ -183,9 +183,13 @@ def _dist_gather_chunk(col, idxs, live, axis, n, cap=0):
 
 def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
     """Stable per-destination binning of (value, rowid) pairs by digit
-    (vals % n_dest); dead lanes are pre-sentineled values. capacity >= the
-    lane count, so nothing can drop — the level-0 scatter of the two-level
-    radix (cross-chip analog of structs.cpp:123-134), carrying rowids.
+    (vals % n_dest); dead lanes are pre-sentineled values. With
+    capacity >= the lane count nothing can drop — the level-0 scatter
+    of the two-level radix (cross-chip analog of structs.cpp:123-134),
+    carrying rowids. A BOUNDED capacity (the histogram-sized exchange
+    transient) may truncate a destination's bin; the returned per-chip
+    ovf flag says so — callers verify-and-retry exactly like the join
+    capacity discipline.
 
     One stable digit sort + strided gathers (ops/radix_partition.py)
     instead of n_dest scan+scatter passes."""
@@ -198,17 +202,29 @@ def _bin_pairs(vals, rows, n_dest: int, capacity: int, sentinel):
     valid = j < hist[:, None]
     vbins = jnp.where(valid, vp[src], sentinel)
     rbins = jnp.where(valid, rp[src], 0)
-    return vbins, rbins
+    ovf = (jnp.any(hist[:n_dest] > capacity) if capacity < n
+           else jnp.zeros((), bool))
+    return vbins, rbins, ovf
+
+
+def _pack_prefix(flags, cap: int, *arrs):
+    """Stable-compact the rows where `flags` is True into the first
+    `cap` lanes (argsort of ~flags); returns the packed prefixes plus
+    an overflow flag (more flagged rows than cap)."""
+    pos = jnp.argsort(~flags, stable=True).astype(jnp.int32)[:cap]
+    ovf = jnp.count_nonzero(flags) > cap
+    return tuple(a[pos] for a in arrs) + (ovf,)
 
 
 def _exchange_pairs(vals, rows, n_dest, capacity, sentinel, axis):
     """Bin + all_to_all (value, rowid) pairs in ONE stacked collective;
     returns chip-local flat (values, rowids) with dead lanes sentineled
-    in values."""
-    vbins, rbins = _bin_pairs(vals, rows, n_dest, capacity, sentinel)
+    in values, plus the per-chip bin-overflow flag (always False when
+    capacity covers the lane count)."""
+    vbins, rbins, ovf = _bin_pairs(vals, rows, n_dest, capacity, sentinel)
     rec = jax.lax.all_to_all(jnp.stack([vbins, rbins]), axis,
                              split_axis=1, concat_axis=1, tiled=True)
-    return rec[0].reshape(-1), rec[1].reshape(-1)
+    return rec[0].reshape(-1), rec[1].reshape(-1), ovf
 
 
 def _heavy_digits(rv, n: int, heavy_frac: float, axis: str):
@@ -343,13 +359,29 @@ def d_eq_mat(mesh, axis, i1: int, i2: int, null_flag: bool,
     return body(colA, colB, mat, icnts)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "heavy_frac", "chunks"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "heavy_frac", "chunks",
+                                   "ecap"))
 def d_case1_probe(mesh, axis, heavy_frac: float, chunks: int, colA, colB,
-                  lrows, lcnts, rrows, rcnts):
+                  lrows, lcnts, rrows, rcnts, ecap: int = 0):
     """Case-1 probe: skew-aware level-0 exchange of (value, rowid) pairs,
     then the chip-local sentinel probe. Returns sharded
     (Lrow, Rrow, order, lo, off, cum, totals) + replicated
-    stats = [min_total, max_total] (min < 0 => capacity overflow).
+    stats = [min_total, max_total, exchange_overflow] (min < 0 => pair
+    capacity overflow; exchange_overflow > 0 => a bounded exchange bin
+    truncated — redispatch with a larger ecap).
+
+    ecap > 0 bounds EVERY worst-case exchange buffer to the
+    histogram-sized transient (the join/gather capacity discipline
+    applied to the exchange): the right light all_to_all sends at most
+    ecap pairs per destination (was capR — all rows on one chip), the
+    heavy broadcast packs each chip's heavy rows into an ecap prefix
+    before the all_gather (was the whole capR vector), and each left
+    sub-exchange bounds at ecap/K per destination. The probe-side R
+    vector shrinks from n*(capR + capR) to n*(ecap + ecap) lanes, and
+    with it every argsort/searchsorted temp — the dominant per-chip
+    memory of the exchange path at data scale (measured 12.6 GB/chip at
+    2^22 rows/chip worst-case on the 8-mesh; EVIDENCE_r04). ecap == 0
+    keeps the worst-case shapes (cannot overflow).
 
     PIPELINED EXCHANGE (`chunks` > 1): the left side is exchanged in K
     sub-exchanges, each probed against the sorted right side as soon as
@@ -384,11 +416,19 @@ def d_case1_probe(mesh, axis, heavy_frac: float, chunks: int, colA, colB,
         # then ONE argsort — the build-side compute the left exchanges
         # overlap with
         rv_light = _mask_heavy(rv, heavy, n, RIGHT_SENTINEL, False)
-        rfv, rfr = _exchange_pairs(rv_light, rrows, n, capR,
-                                   RIGHT_SENTINEL, axis)
+        rcap = min(ecap, capR) if ecap else capR
+        rfv, rfr, rovf = _exchange_pairs(rv_light, rrows, n, rcap,
+                                         RIGHT_SENTINEL, axis)
         rv_heavy = _mask_heavy(rv, heavy, n, RIGHT_SENTINEL, True)
-        rgv = jax.lax.all_gather(rv_heavy, axis).reshape(-1)
-        rgr = jax.lax.all_gather(rrows, axis).reshape(-1)
+        if ecap and ecap < capR:
+            # pack each chip's heavy rows into an ecap prefix before the
+            # broadcast (non-heavy lanes are already sentineled)
+            hv, hr, hovf = _pack_prefix(rv_heavy != RIGHT_SENTINEL,
+                                        ecap, rv_heavy, rrows)
+        else:
+            hv, hr, hovf = rv_heavy, rrows, jnp.zeros((), bool)
+        rgv = jax.lax.all_gather(hv, axis).reshape(-1)
+        rgr = jax.lax.all_gather(hr, axis).reshape(-1)
         R = jnp.concatenate([rfv, rgv])
         Rrow = jnp.concatenate([rfr, rgr])
         order = jnp.argsort(R).astype(jnp.int32)
@@ -403,11 +443,14 @@ def d_case1_probe(mesh, axis, heavy_frac: float, chunks: int, colA, colB,
         while capL % K:
             K //= 2
         ck = capL // K
-        segs = []
+        lecap = min(max(ecap // K, 1), ck) if ecap else ck
+        segs, eovfs = [], [rovf, hovf]
         for k in range(K):
             sl = slice(k * ck, (k + 1) * ck)
-            segs.append(_exchange_pairs(lv_light[sl], lrows[sl], n, ck,
-                                        LEFT_SENTINEL, axis))
+            lfv, lfr, lovf = _exchange_pairs(lv_light[sl], lrows[sl], n,
+                                             lecap, LEFT_SENTINEL, axis)
+            segs.append((lfv, lfr))
+            eovfs.append(lovf)
         segs.append((lv_heavy, lrows))
         los, cnts, row_parts = [], [], []
         for (lfv, lfr) in segs:
@@ -423,8 +466,10 @@ def d_case1_probe(mesh, axis, heavy_frac: float, chunks: int, colA, colB,
         Lrow = jnp.concatenate(row_parts)
         cum = jnp.cumsum(counts)
         total = _total_or_overflow(cum)
+        eovf = jnp.stack(eovfs).any().astype(jnp.int32)
         stats = jnp.stack([jax.lax.pmin(total, axis),
-                           jax.lax.pmax(total, axis)])
+                           jax.lax.pmax(total, axis),
+                           jax.lax.pmax(eovf, axis)])
         return (Lrow, Rrow, order, lo, cum - counts, cum,
                 total.reshape(1), stats)
     return body(colA, colB, lrows, lcnts, rrows, rcnts)

@@ -325,3 +325,26 @@ def test_dist_broadcast_chunks_match_unchunked():
         if got is not None:
             assert [s & ((1 << 64) - 1) for s in want] == [
                 s & ((1 << 64) - 1) for s in got]
+
+
+def test_dist_exchange_capacity_retry(monkeypatch):
+    """Histogram-sized case-1 EXCHANGE capacity (d_case1_probe ecap),
+    end to end: a forced tiny capacity truncates the bounded right/left
+    exchange bins and the heavy-broadcast prefix under key skew, the
+    probe's exchange-overflow stat fires, and the verify-and-retry
+    ladder must recover the exact answer — never a silent drop."""
+    monkeypatch.setattr(DistExecutor, "_gather_cap", lambda self, m: 8)
+    rng = np.random.default_rng(92)
+    n = 3000
+    # one dominant key (heavy digit -> the packed broadcast prefix
+    # overflows cap 8) plus a skewed light tail (bins overflow too)
+    ka = np.where(rng.random(n) < 0.5, 7,
+                  rng.integers(0, 40, n)).astype(np.uint64)
+    rels = [Relation([ka, rng.integers(0, 100, n).astype(np.uint64)]),
+            Relation([rng.integers(0, 40, 500).astype(np.uint64),
+                      rng.integers(0, 100, 500).astype(np.uint64)])]
+    queries = [Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
+                     [Projection(0, 1), Projection(1, 1)])]
+    cfg = EngineConfig(factorized=False)   # force the exchange pipeline
+    ex = _check(rels, queries, cfg)
+    assert ex.counters["gather_retries"] > 0
