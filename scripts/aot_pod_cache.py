@@ -123,7 +123,19 @@ def main() -> None:
     shape = args.topology.split(":")[1]
     n_devices = int(np.prod([int(x) for x in shape.split("x")]))
     rec_path = f"/tmp/aot_pod_calls_{n_devices}_{args.rows}.pkl"
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    # the worker MUST see the CPU platform before anything imports jax:
+    # an axon/TPU sitecustomize on PYTHONPATH pins the platform at
+    # interpreter startup (earlier than record() runs), which silently
+    # recorded single-chip shapes — strip it and force cpu in the env
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p) or os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").split(
+        "--xla_force_host_platform_device_count")[0]
+        + f" --xla_force_host_platform_device_count={n_devices}").strip()
     subprocess.run([sys.executable, __file__, "--record-worker", rec_path,
                     "--devices", str(n_devices), "--rows", str(args.rows)],
                    check=True, env=env, timeout=1800)
@@ -153,19 +165,52 @@ def main() -> None:
             return jax.ShapeDtypeStruct(shp, np.dtype(dt), sharding=sh)
         return item[1]
 
+    # jax's persistent compilation cache does not persist detached
+    # topology compiles (verified: zero .jax_cache entries from them),
+    # so the compiled pod executables are serialized EXPLICITLY
+    # (jax.experimental.serialize_executable) — a real pod allocation
+    # deserialize_and_load()s them in <1 s instead of compiling
+    import hashlib
+
+    from jax.experimental import serialize_executable as se
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache", "aot_pod")
+    os.makedirs(cache_dir, exist_ok=True)
+
     seen = set()
     total = 0.0
+    hits = 0
     for name, enc, enc_kw in calls:
         key = (name, pickle.dumps((enc, enc_kw)))
         if key in seen:
             continue
         seen.add(key)
+        h = hashlib.sha256(key[1]).hexdigest()[:16]
+        path = os.path.join(
+            cache_dir,
+            f"{name}-{args.topology.replace(':', '_')}-{h}.bin")
+        if os.path.exists(path):
+            t0 = time.time()
+            with open(path, "rb") as f:
+                pickle.load(f)                  # loadable blob on disk
+            dt = time.time() - t0
+            hits += 1
+            print(json.dumps({"metric": "aot_pod_compile_s",
+                              "program": name,
+                              "topology": args.topology, "cached": True,
+                              "rows": 1 << args.rows,
+                              "value": round(dt, 2), "unit": "s"}))
+            continue
         fn = getattr(dist_ops, name)
         argv = [decode(a) for a in enc]
         kw = {k: decode(v) for k, v in enc_kw}
         t0 = time.time()
         try:
-            fn.lower(*argv, **kw).compile()
+            compiled = fn.lower(*argv, **kw).compile()
+            blob, in_tree, out_tree = se.serialize(compiled)
+            with open(path, "wb") as f:
+                pickle.dump((blob, in_tree, out_tree), f)
         except Exception as e:  # keep going: one bad signature, not all
             print(json.dumps({"metric": "aot_pod_compile_s",
                               "program": name, "error": str(e)[:200]}))
@@ -173,13 +218,13 @@ def main() -> None:
         dt = time.time() - t0
         total += dt
         print(json.dumps({"metric": "aot_pod_compile_s", "program": name,
-                          "topology": args.topology,
+                          "topology": args.topology, "cached": False,
                           "rows": 1 << args.rows,
                           "value": round(dt, 2), "unit": "s"}))
     print(json.dumps({"metric": "aot_pod_compile_total_s",
                       "topology": args.topology,
-                      "programs": len(seen), "value": round(total, 2),
-                      "unit": "s"}))
+                      "programs": len(seen), "cache_hits": hits,
+                      "value": round(total, 2), "unit": "s"}))
 
 
 if __name__ == "__main__":
