@@ -171,7 +171,14 @@ class DeviceCatalog:
             huge = (self.row_shard is None
                     and rel.num_tuples > _NARROW_PLANE_MIN_ROWS)
             if self.dict_vals is None:
-                if huge and rel.stats[col].max < (1 << 16):
+                if (huge and rel.stats[col].max < (1 << 16)
+                        and key not in self._cols):
+                    # uint16 plane halves the HBM — but ONLY when the
+                    # int32 column is not already resident for a join/
+                    # filter on the same (rel, col): aliasing the
+                    # existing column there costs zero extra bytes while
+                    # a second uint16 copy would ADD 2 bytes/row
+                    # (ADVICE r4)
                     self._planes[key] = [(self._put_rows(
                         rel_id, rel.values[col].astype(np.uint16)), 0)]
                 else:

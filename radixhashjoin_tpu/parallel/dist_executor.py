@@ -244,7 +244,17 @@ class DistExecutor:
                         *live[s1], *live[s2], ecap=cap)
                     st = np.asarray(out[7])
                     return (out, st), st[2] > 0
-                # capacity semantics are PER-CHIP rows (the probe's capL)
+                # capacity semantics are PER-CHIP rows (the probe's
+                # capL). live[s][0] is the GLOBAL (n * shard_cap,)
+                # sharded rowid slab (d_seed out_specs concatenate the
+                # per-chip blocks), so // n recovers the per-chip capL
+                # that _gather_cap expects; the initial ecap is then
+                # ~2x the uniform per-destination share 2*capL/n.
+                # (ADVICE r4 flagged this division as n-fold undersized
+                # by reading shape[0] as per-chip — verified wrong on a
+                # real 8-mesh: shape[0] == n*cap, and EVIDENCE_r04's
+                # gather_retries: 0 at 2^22 rows/chip confirms the
+                # bounded first dispatch does not overflow.)
                 ((Lrow, Rrow, order, lo, off, cum, totals, _st),
                  stats) = self._gather_retry(
                     max(live[s1][0].shape[0],

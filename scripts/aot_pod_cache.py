@@ -47,14 +47,22 @@ _REC_OPS = ("d_ftree", "d_case1_probe", "d_case1_expand", "d_case2_probe",
             "d_project", "d_seed")
 
 
+def _force_device_count(flags: str, n_devices: int) -> str:
+    """Replace any --xla_force_host_platform_device_count token while
+    keeping every OTHER flag (splitting on the flag name discarded
+    whatever followed it — ADVICE r4)."""
+    kept = [t for t in flags.split()
+            if not t.startswith("--xla_force_host_platform_device_count")]
+    kept.append(f"--xla_force_host_platform_device_count={n_devices}")
+    return " ".join(kept)
+
+
 def record(n_devices: int, log_rows: int, out_path: str) -> None:
     """Phase 1 (CPU subprocess): run both engine paths, capture every
     dist-op call signature."""
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "").split(
-            "--xla_force_host_platform_device_count")[0]
-        + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    os.environ["XLA_FLAGS"] = _force_device_count(
+        os.environ.get("XLA_FLAGS", ""), n_devices)
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -133,9 +141,8 @@ def main() -> None:
         p for p in env.get("PYTHONPATH", "").split(os.pathsep)
         if p and "axon" not in p) or os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").split(
-        "--xla_force_host_platform_device_count")[0]
-        + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    env["XLA_FLAGS"] = _force_device_count(env.get("XLA_FLAGS", ""),
+                                           n_devices)
     subprocess.run([sys.executable, __file__, "--record-worker", rec_path,
                     "--devices", str(n_devices), "--rows", str(args.rows)],
                    check=True, env=env, timeout=1800)
@@ -178,11 +185,18 @@ def main() -> None:
         os.path.abspath(__file__))), ".jax_cache", "aot_pod")
     os.makedirs(cache_dir, exist_ok=True)
 
+    # the serialized executable is only valid for the jax/jaxlib pair
+    # that produced it — fold both versions into the cache key so an
+    # upgraded environment recompiles instead of counting a stale blob
+    # as a hit (ADVICE r4)
+    import jaxlib
+
+    version_tag = (jax.__version__, getattr(jaxlib, "__version__", "?"))
     seen = set()
     total = 0.0
     hits = 0
     for name, enc, enc_kw in calls:
-        key = (name, pickle.dumps((enc, enc_kw)))
+        key = (name, pickle.dumps((version_tag, enc, enc_kw)))
         if key in seen:
             continue
         seen.add(key)
