@@ -115,6 +115,15 @@ class EngineConfig:
     # backend, table width, and row count from committed measurements).
     ftree_scatter: str = "auto"
     ftree_gather: str = "auto"
+    # sorted-window fused passes over HUGE nodes ("on"/"off"/"auto"):
+    # every window of a huge-node pass is sorted once by its
+    # most-consumed key column so that key's gathers/scatters run the
+    # presorted hier kernels (613-693 M gathers/s, 1.76 G updates/s)
+    # instead of the ~140 M/s fixed-function engines, one carrying sort
+    # (~305-470 M rows/s) buying all consumers. "auto" = on for TPU
+    # device kinds with committed shootout measurements
+    # (ops/tables.py:_MEASURED_KINDS), off elsewhere.
+    ftree_window_sort: str = "auto"
 
     # --- dtype policy ---
     # Values/rowids ride 32-bit lanes (TPU-native); the file format stays u64

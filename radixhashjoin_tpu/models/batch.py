@@ -144,6 +144,17 @@ class BatchExecutor:
                     else "sort")
         self.join = JoinBackend(kind, self.catalog.domain)
 
+    def _resolve_wsort(self) -> bool:
+        """Static sorted-window policy for huge-node fused passes
+        (config.ftree_window_sort): "auto" engages only on TPU device
+        kinds with committed kernel shootouts, like the table-kernel
+        autos (ops/tables.py:_measured_tpu)."""
+        ws = self.config.ftree_window_sort
+        if ws == "auto":
+            from ..ops.tables import _measured_tpu
+            return _measured_tpu()
+        return ws == "on"
+
     # ---- phases ----
 
     def _init_and_filter(self, q: Query) -> _QState:
@@ -1250,7 +1261,8 @@ class BatchExecutor:
                       tuple(keep_slots), tuple(keep_mats),
                       tuple(keep_probes),
                       self.config.ftree_scatter,
-                      self.config.ftree_gather),
+                      self.config.ftree_gather,
+                      self._resolve_wsort()),
             tuple(live_in) + tuple(mats_in))
         packed, lr_k, lc_k, mats_k, ics_k, probes_k = out
         vid = len(vecs)

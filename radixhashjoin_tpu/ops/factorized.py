@@ -370,6 +370,7 @@ class _Lazy:
                 else _Lazy(self.n, self.factors + [("mask", bvec)]))
 
     def _parts(self, start, size, cache=None):
+        sorted_ids = (cache or {}).get("sorted_ids", ())
         for f in self.factors:
             if f[0] == "gather":
                 _tag, table, keys, off, clamp = f
@@ -378,7 +379,17 @@ class _Lazy:
                 if cache is not None and ck in cache:
                     yield cache[ck], clamp
                     continue
-                g = table.at[k + off].get(mode="promise_in_bounds")
+                if id(keys) in sorted_ids:
+                    # the window was sorted by THIS key column
+                    # (_fused_node_pass wsort): the hier gather reads
+                    # sub_width-wide table windows + blocked one-hot MXU
+                    # lookups — measured 693 M elem/s vs the engine's
+                    # 144 M at 2^20 bins (EVIDENCE_r05); adding the
+                    # offset preserves sortedness
+                    from .tables import table_gather_hier
+                    g = table_gather_hier(table, k + off)
+                else:
+                    g = table.at[k + off].get(mode="promise_in_bounds")
                 g = (g > 0) if clamp else g
                 if cache is not None:
                     cache[ck] = g
@@ -509,7 +520,55 @@ def _scatter_add_big(width, key, off, weight, mask, sent, axis=None,
     return acc
 
 
-def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla"):
+def _collect_pass_arrays(scatters, folds):
+    """Ordered {id: array} of every window-sliced operand of a fused
+    pass: scatter keys/weights/masks, fold planes, and the arrays
+    inside every lazy factor. These are exactly the arrays a sorted
+    window must carry through its permutation."""
+    arrs = {}
+
+    def add(a):
+        if a is not None and id(a) not in arrs:
+            arrs[id(a)] = a
+
+    def add_lazy(w):
+        if isinstance(w, _Lazy):
+            for f in w.factors:
+                add(f[2] if f[0] == "gather" else f[1])
+        elif w is not None:
+            add(w)
+
+    for (_w, key, _off, weight, mask, _sent) in scatters:
+        add(key)
+        add_lazy(weight)
+        add(mask)
+    for (plane, lz) in folds:
+        add(plane)
+        add_lazy(lz)
+    return arrs
+
+
+def _pick_primary(scatters, folds):
+    """id of the key column consumed by the most scatters + lazy
+    gathers of this pass — the column whose sort order pays the most."""
+    cnt: dict = {}
+    for (_w, key, _off, weight, _m, _s) in scatters:
+        cnt[id(key)] = cnt.get(id(key), 0) + 1
+        if isinstance(weight, _Lazy):
+            for f in weight.factors:
+                if f[0] == "gather":
+                    cnt[id(f[2])] = cnt.get(id(f[2]), 0) + 1
+    for (_plane, lz) in folds:
+        for f in lz.factors:
+            if f[0] == "gather":
+                cnt[id(f[2])] = cnt.get(id(f[2]), 0) + 1
+    if not cnt:
+        return None
+    return max(cnt.items(), key=lambda kv: kv[1])[0]
+
+
+def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
+                     wsort=False):
     """ONE window loop over a huge node serving every consumer at once:
     message-table scatter builds (the down-pass A slices), exact
     projection folds, and the root NULL flag. Each window slices the
@@ -529,23 +588,65 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla"):
         folds (decode with combine_weighted_segments).
     flag_idx: folds index whose any(weight > 0) is also wanted (the
         root emptiness bit), or None.
+    wsort: sort every window ONCE by the pass's most-consumed key
+        column, carrying every other operand slice through the same
+        permutation (folds/scatters/flags are multiset ops — window
+        order is free). Consumers then read permuted slices
+        transparently through the window cache, and the primary key's
+        gathers/scatters run the presorted hier kernels instead of the
+        fixed-function engines: measured 613-693 M elem/s gathers and
+        1.76 G updates/s builds vs the engines' ~144/136 M
+        (EVIDENCE_r05) — one ~305 M rows/s carrying sort buys both.
+        The r4 negative (per-window hier at 16.7 -> 23.2 s) paid one
+        sort per SCATTER; this pays one per WINDOW for every consumer.
+        Single-chip only (axis None): distributed shards keep engine
+        order.
     Returns ([A_i], [fold_i], anyp_or_None). Exactness: full windows
     are disjoint; the ragged tail re-runs the LAST w_rows with rows
     already covered masked to zero weight (scatter adds zero, fold
-    channels zero via live_from, OR unaffected) — the same discipline
+    channels zero via live_from — carried through the permutation as a
+    sort operand under wsort, OR unaffected) — the same discipline
     as _scatter_add_big / weighted_partials_big, here sharing one loop.
     """
-    from .tables import scatter_add_window
+    from .tables import MXU_SCATTER_MAX_BINS, scatter_add_window
     _win_guard(n)
     chunk = seg_chunk(n, 1) if folds else 1
     w_rows = max(_win_rows(), chunk)
     n_full = n // w_rows
     m = (n_full * w_rows) // chunk if folds else 0
 
+    primary = _pick_primary(scatters, folds) if (wsort and axis is None) \
+        else None
+    arrs = _collect_pass_arrays(scatters, folds) if primary is not None \
+        else None
+
+    def scat_impl(key, width, mask):
+        # a masked scatter rewrites masked keys to the sentinel AFTER
+        # the window sort, breaking the presorted promise mid-stream
+        # (every such window would pay the hier spill fallback) — keep
+        # the engine there
+        if primary is not None and id(key) == primary and mask is None \
+                and width > MXU_SCATTER_MAX_BINS:
+            return "hier_presorted"
+        return impl
+
     def eval_win(start, size, live_rel=None):
         cache = {}
         idx = (None if live_rel is None
                else jax.lax.broadcasted_iota(jnp.int32, (size,), 0))
+        live_s = None
+        if primary is not None:
+            order = [primary] + [i for i in arrs if i != primary]
+            ops = [jax.lax.dynamic_slice(arrs[i], (start,), (size,))
+                   for i in order]
+            if live_rel is not None:
+                ops.append(idx >= live_rel)
+            so = jax.lax.sort(tuple(ops), num_keys=1)
+            for i, s in zip(order, so):
+                cache[("s", i)] = s
+            if live_rel is not None:
+                live_s = so[len(order)]
+            cache["sorted_ids"] = {primary}
         sc = []
         for (width, key, off, weight, mask, sent) in scatters:
             k = _slice_cached(key, start, size, cache) + off
@@ -560,26 +661,33 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla"):
                 k = jnp.where(mk, k, sent)
                 w = jnp.where(mk, w, 0)
             if live_rel is not None:
-                w = jnp.where(idx >= live_rel, w, 0)
+                w = jnp.where(live_s if live_s is not None
+                              else idx >= live_rel, w, 0)
             sc.append((k, w))
         fc, anyp = [], None
         for fi, (plane, lz) in enumerate(folds):
             c = lz.window(start, size, cache)
+            if live_s is not None:
+                # row positions permuted: the tail's already-covered
+                # mask rode the sort as an operand
+                c = jnp.where(live_s, c, 0)
             if flag_idx == fi:
-                cp = c if live_rel is None else jnp.where(idx >= live_rel,
-                                                          c, 0)
+                cp = c if (live_rel is None or live_s is not None) \
+                    else jnp.where(idx >= live_rel, c, 0)
                 anyp = jnp.any(cp > 0)
             v = _slice_cached(plane, start, size, cache)
-            fc.append(_limbs._channel_sums(v, c, chunk,
-                                           live_from=live_rel))
+            fc.append(_limbs._channel_sums(
+                v, c, chunk,
+                live_from=None if live_s is not None else live_rel))
         return sc, fc, anyp
 
     def body(i, carry):
         accA, accF, flg = carry
         start = i * w_rows
         sc, fc, ap = eval_win(start, w_rows)
-        accA = tuple(scatter_add_window(a, k, w, impl)
-                     for a, (k, w) in zip(accA, sc))
+        accA = tuple(scatter_add_window(a, k, w,
+                                        scat_impl(s[1], s[0], s[4]))
+                     for a, (k, w), s in zip(accA, sc, scatters))
         accF = tuple(jax.lax.dynamic_update_slice(a, cols,
                                                   (0, start // chunk))
                      for a, cols in zip(accF, fc))
@@ -597,8 +705,9 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla"):
         live_rel = np.int32(n_full * w_rows - (n - w_rows))
         sc, fc, ap = eval_win(np.int32(n - w_rows), w_rows,
                               live_rel=live_rel)
-        accA = tuple(scatter_add_window(a, k, w, impl)
-                     for a, (k, w) in zip(accA, sc))
+        accA = tuple(scatter_add_window(a, k, w,
+                                        scat_impl(s[1], s[0], s[4]))
+                     for a, (k, w), s in zip(accA, sc, scatters))
         chs = [jnp.concatenate([a, cols], axis=1)
                for a, cols in zip(chs, fc)]
         if ap is not None:
@@ -624,7 +733,7 @@ def _none_anywhere(x, axis):
 
 
 def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
-                   scatter="xla", gather="xla"):
+                   scatter="xla", gather="xla", wsort=False):
     """Execute MANY factorized trees in one traced program, batching all
     same-level message scatters/gathers across trees into single
     segmented kernels (per-edge table widths, offsets = running sums).
@@ -702,14 +811,29 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             if axis is not None:
                 B = jax.lax.psum(B, axis)     # local scatters -> global
             parts.append(B)
+        # huge-CHILD edges group by (tree, child): one fused window
+        # pass per node serves every edge's B build (shared operand
+        # slices + under wsort one carrying sort per window feeding the
+        # presorted hier build)
+        up_groups: dict = {}
         for (t, ei) in bg:
-            _p, c, _pre, _nd, w = t.edges[ei]
-            Bb = _scatter_add_big(w, t.ckey[ei], 0, t.beta[c],
-                                  t.msg_mask[c], np.int32(w), axis,
-                                  impl=scatter)
-            if axis is not None:
-                Bb = jax.lax.psum(Bb, axis)
-            parts.append(Bb)
+            up_groups.setdefault((id(t), t.edges[ei][1]), (t, []))[1]\
+                .append(ei)
+        up_part = {}
+        for (_tid, c), (t, eis) in up_groups.items():
+            scats = []
+            for ei in eis:
+                w = t.edges[ei][4]
+                scats.append((w, t.ckey[ei], np.int32(0), t.beta[c],
+                              t.msg_mask[c], np.int32(w)))
+            B_list, _f, _a = _fused_node_pass(
+                t.ckey[eis[0]].shape[0], scats, [], None, axis,
+                impl=scatter, wsort=wsort)
+            for ei, Bb in zip(eis, B_list):
+                if axis is not None:
+                    Bb = jax.lax.psum(Bb, axis)
+                up_part[(id(t), ei)] = Bb
+        parts.extend(up_part[(id(t), ei)] for (t, ei) in bg)
         for (t, ei) in pr:
             parts.append(t.pre[ei])           # already-global bincounts
         mega = _concat(parts)
@@ -819,7 +943,8 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 folds.append((plane, m_.with_mask(t.msg_mask[i])))
                 fold_pi.append(pi)
             A_list, fold_list, anyp = _fused_node_pass(
-                n_node, scats, folds, flag_idx, axis, impl=scatter)
+                n_node, scats, folds, flag_idx, axis, impl=scatter,
+                wsort=wsort)
             for ei, Ah in zip(eis, A_list):
                 if axis is not None:
                     Ah = jax.lax.psum(Ah, axis)
@@ -867,7 +992,10 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             if isinstance(m, _Lazy):
                 by_node.setdefault(i, []).append((pi, plane, m))
         for i, lst in by_node.items():
-            if len(lst) < 2:
+            if len(lst) < 2 and not wsort:
+                # a single lazy fold goes through weighted_partials_big
+                # below — UNLESS wsort is on, where the fused pass's
+                # sorted windows buy the hier gathers even for one fold
                 continue
             flag_idx = (0 if (i == t.root and t.tnode is None
                               and t.done_flag is None
@@ -875,7 +1003,8 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             _al, fold_list, anyp = _fused_node_pass(
                 lst[0][1].shape[0], [],
                 [(plane, m.with_mask(msg_mask[i]))
-                 for (_pi, plane, m) in lst], flag_idx, axis)
+                 for (_pi, plane, m) in lst], flag_idx, axis,
+                wsort=wsort)
             for (pi, _plane, _m), f in zip(lst, fold_list):
                 t.done_folds[pi] = f
             if anyp is not None:
@@ -1029,7 +1158,8 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
     return tuple(flags), parts
 
 
-def run_ftree(spec, cols, vals, scatter="xla", gather="xla"):
+def run_ftree(spec, cols, vals, scatter="xla", gather="xla",
+              wsort=False):
     """Execute one factorized tree (a single-spec wave). Returns
     (flags, partials): one bool flag per flag_node plus the M-emptiness
     flag, and partials = a 1-tuple holding ONE (n_projs, 5, 3) stack of
@@ -1038,5 +1168,5 @@ def run_ftree(spec, cols, vals, scatter="xla", gather="xla"):
     Traced inline under the fused stage program (ops/stage.py)."""
     return run_ftree_wave(((spec, len(cols), len(vals)),),
                           tuple(cols), tuple(vals),
-                          scatter=scatter, gather=gather)
+                          scatter=scatter, gather=gather, wsort=wsort)
 

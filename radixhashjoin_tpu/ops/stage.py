@@ -102,10 +102,12 @@ def touched_state(plan):
 
 @partial(jax.jit, static_argnames=("plan", "domain", "keep_slots",
                                    "keep_mats", "keep_probes",
-                                   "ftree_scatter", "ftree_gather"))
+                                   "ftree_scatter", "ftree_gather",
+                                   "ftree_wsort"))
 def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
               plan, domain, keep_slots=(), keep_mats=(), keep_probes=(),
-              ftree_scatter="xla", ftree_gather="xla"):
+              ftree_scatter="xla", ftree_gather="xla",
+              ftree_wsort=False):
     """Execute one fused stage for a group of queries.
 
     Returns (packed, kept live_rows, kept live_cnt, kept mats, kept
@@ -294,7 +296,8 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             ci += n_cols
             vi += n_vals
             fflags, outs = run_ftree(spec, fc, fv, scatter=ftree_scatter,
-                                     gather=ftree_gather)
+                                     gather=ftree_gather,
+                                     wsort=ftree_wsort)
             flags.extend(fflags)
             partials.extend(outs)
         elif k == "ftree_wave":
@@ -309,7 +312,8 @@ def run_stage(live_rows, live_cnt, mats, icounts, probes, cols, vals,
             vi += n_vals
             fflags, outs = run_ftree_wave(wspecs, fc, fv,
                                           scatter=ftree_scatter,
-                                          gather=ftree_gather)
+                                          gather=ftree_gather,
+                                          wsort=ftree_wsort)
             flags.extend(fflags)
             partials.extend(outs)
         elif k == "project":

@@ -139,7 +139,8 @@ HIER_SUB_WIDTH = 1024
 
 def weighted_bincount_hier(idxs, weights, n_bins: int,
                            block_rows: int = HIER_BLOCK_ROWS,
-                           sub_width: int = HIER_SUB_WIDTH):
+                           sub_width: int = HIER_SUB_WIDTH,
+                           presorted: bool = False):
     """Hierarchical wide-table build: ONE carrying sort groups the rows,
     then every block of `block_rows` consecutive sorted rows MXU-builds a
     `sub_width`-wide local table anchored at its first key (a batched
@@ -161,20 +162,35 @@ def weighted_bincount_hier(idxs, weights, n_bins: int,
     anchor block 0's window out of bounds and drop its valid rows).
     Per-bin totals < 2**31 (caller contract) bound every partial: 7-bit
     limbs cannot sign-wrap in int8, per-block per-bin limb sums are
-    <= block_rows * 127, and window adds accumulate to the true sums."""
+    <= block_rows * 127, and window adds accumulate to the true sums.
+
+    presorted=True skips the carrying sort: the caller promises idxs is
+    already non-decreasing (a window of a node-sorted huge column —
+    ops/factorized.py's persistent sorted layout). An unsorted input
+    would NOT be silently wrong — blocks then anchor at their first key
+    and every out-of-window row lands in the spill scatter — but the
+    point of the promise is speed: the r4 in-loop negative (16.7 ->
+    23.2 s with per-window hier) was exactly the per-window sort."""
     n = idxs.shape[0]
     idxs = jnp.where(idxs < 0, n_bins, idxs)
     pad = -n % block_rows
     if pad:
         idxs = jnp.pad(idxs, (0, pad), constant_values=n_bins)
         weights = jnp.pad(weights, (0, pad))
-    sk, sw = jax.lax.sort((idxs, weights), num_keys=1)
+    if presorted:
+        sk, sw = idxs, weights
+    else:
+        sk, sw = jax.lax.sort((idxs, weights), num_keys=1)
     nb = sk.shape[0] // block_rows
     skb = sk.reshape(nb, block_rows)
     swb = sw.reshape(nb, block_rows)
     bases = skb[:, 0]
-    local = skb - bases[:, None]            # >= 0: rows are sorted
-    spill = local >= sub_width
+    # local < 0 is impossible after the sort but CAN happen under the
+    # presorted promise when the caller's order is imperfect (e.g. a
+    # masked-to-sentinel row anchoring a block) — those rows must SPILL
+    # to the engine scatter, not silently drop
+    local = skb - bases[:, None]
+    spill = (local < 0) | (local >= sub_width)
     wm = jnp.where(spill, 0, swb)
     limbs = jnp.stack([(wm >> (7 * k)) & 0x7F for k in range(5)],
                       axis=-1).astype(jnp.int8)        # (nb, R, 5)
@@ -329,6 +345,13 @@ def scatter_add_window(acc, idxs, weights, impl: str = "xla"):
         return acc + weighted_bincount_mxu(idxs, weights, n_bins)
     if impl == "hier":
         return acc + weighted_bincount_hier(idxs, weights, n_bins)
+    if impl == "hier_presorted":
+        # the window is a slice of a node-sorted column (persistent
+        # sorted layout): the hier build without its carrying sort —
+        # the r4 in-loop negative was the per-window sort, not the
+        # blocked MXU sub-tables
+        return acc + weighted_bincount_hier(idxs, weights, n_bins,
+                                            presorted=True)
     return acc.at[idxs].add(weights, mode="drop")
 
 
@@ -387,6 +410,172 @@ def table_gather2(tableA, tableB, keys, impl: str = "xla"):
                 + ((g[:, o + 3] & 0xFF) << 24))
 
     return recomb(0), recomb(4)
+
+
+def table_gather_diffcum(table, sk):
+    """table[sk] for SORTED keys with NO gather at all: scatter the
+    table's first differences at each bin's first occurrence (bounds =
+    ONE searchsorted of the n_bins+2 bin edges into sk), then a wrapped
+    int32 cumsum reconstructs the values. Exact: every table entry is
+    int32, and mod-2^32 prefix differences recover int32 values exactly
+    (the weighted_bincount_sorted argument in reverse). Out-of-range
+    keys (< 0 or >= n_bins — the wave's mask sentinel) yield 0, like
+    mode='drop' on the build side. The cost is one n_bins-sized unique
+    scatter + one n-length cumsum — bandwidth, not the ~9 ns/elem
+    fixed-function engine. Supersedes the reference's cache-resident
+    probe loop (/root/reference/Result.cpp:61-73) for presorted probes.
+    """
+    n_bins = table.shape[0]
+    n = sk.shape[0]
+    tpad = jnp.concatenate([table, jnp.zeros(1, jnp.int32)])
+    skc = jnp.minimum(sk, n_bins)          # sentinel bin -> zero entry
+    edges = jnp.arange(n_bins + 2, dtype=sk.dtype)
+    bounds = jnp.searchsorted(skc, edges, side="left",
+                              method="sort").astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), tpad[:-1]])
+    delta = tpad - prev                     # (n_bins + 1,) wrapped diffs
+    # bins whose first key sits past the end scatter into slot n (cut)
+    acc = jnp.zeros(n + 1, jnp.int32).at[bounds[:-1]].add(delta,
+                                                          mode="drop")
+    return jnp.cumsum(acc[:n])
+
+
+HIER_GATHER_BLOCK_ROWS = 2048
+HIER_GATHER_SUB_WIDTH = 1024
+
+
+def table_gather_hier(table, sk, block_rows: int = HIER_GATHER_BLOCK_ROWS,
+                      sub_width: int = HIER_GATHER_SUB_WIDTH):
+    """table[sk] for SORTED keys via blocked one-hot MXU lookups from
+    sub_width-wide table windows anchored at each block's first key —
+    the gather mirror of weighted_bincount_hier: sortedness makes every
+    block's keys local to one window; the windows come out of HBM as
+    nb CONTIGUOUS slices (a windowed lax.gather, engine-friendly),
+    and the per-block lookup is the 4-limb int8 one-hot matmul of
+    table_gather_onehot applied piecewise.
+
+    Exact for any input: rows whose key leaves its block window (only
+    possible at low occupancy) or is out of range are masked out of the
+    MXU pass and fixed by one engine gather, gated by lax.cond on the
+    spill count. Out-of-range keys yield 0 (mode='drop' semantics)."""
+    n = sk.shape[0]
+    n_bins = table.shape[0]
+    sent = n_bins + sub_width              # past every window: spills
+    sk2 = jnp.where((sk < 0) | (sk > n_bins), jnp.int32(sent), sk)
+    pad = -n % block_rows
+    if pad:
+        sk2 = jnp.pad(sk2, (0, pad), constant_values=sent)
+    nb = sk2.shape[0] // block_rows
+    skb = sk2.reshape(nb, block_rows)
+    bases = jnp.minimum(skb[:, 0], n_bins)  # sentinel blocks -> zero pad
+    local = skb - bases[:, None]
+    spill = (local < 0) | (local >= sub_width)
+    tpad = jnp.concatenate([table,
+                            jnp.zeros(sub_width + 1, jnp.int32)])
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    W = jax.lax.gather(tpad, bases[:, None], dn,
+                       slice_sizes=(sub_width,))         # (nb, sub)
+    limbs = jnp.stack([(W >> s) & 0xFF for s in (0, 8, 16, 24)],
+                      axis=-1).astype(jnp.int8)          # (nb, sub, 4)
+    lm = jnp.where(spill, sub_width, local)
+    onehot = (lm[:, :, None]
+              == jnp.arange(sub_width, dtype=lm.dtype)
+              ).astype(jnp.int8)                         # (nb, R, sub)
+    g4 = jax.lax.dot_general(onehot, limbs, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.int32)
+    g = ((g4[..., 0] & 0xFF) + ((g4[..., 1] & 0xFF) << 8)
+         + ((g4[..., 2] & 0xFF) << 16) + ((g4[..., 3] & 0xFF) << 24))
+    g = g.reshape(-1)[:n]
+    spill_n = spill.reshape(-1)[:n]
+
+    def fix(gg):
+        safe = jnp.where(spill_n, jnp.minimum(sk2[:n], n_bins),
+                         jnp.int32(0))
+        eng = tpad.at[safe].get(mode="promise_in_bounds")
+        return jnp.where(spill_n, eng, gg)
+
+    return jax.lax.cond(jnp.any(spill_n), fix, lambda gg: gg, g)
+
+
+PALLAS_GATHER_KEY_ROWS = 512
+
+
+def _pgather_kernel(kb_rows, s_rows, tab_ref, keys_ref, out_ref,
+                    spill_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        spill_ref[0, 0] = 0
+
+    k = keys_ref[:]
+    r = jax.lax.shift_right_logical(k, 7)
+    c = k & 127
+    rmin = jnp.min(r, axis=1, keepdims=True)
+    rb = jnp.broadcast_to(rmin, (kb_rows, LANES))
+    rb1 = jnp.minimum(rb + 1, s_rows - 1)
+    tab = tab_ref[:]
+    xlo = jnp.take_along_axis(tab, rb, axis=0)
+    xhi = jnp.take_along_axis(tab, rb1, axis=0)
+    ylo = jnp.take_along_axis(xlo, c, axis=1)
+    yhi = jnp.take_along_axis(xhi, c, axis=1)
+    ok_lo = r == rb
+    ok_hi = r == rb + 1
+    out_ref[:] = jnp.where(ok_lo, ylo, jnp.where(ok_hi, yhi, 0))
+    spill_ref[0, 0] += jnp.sum((~(ok_lo | ok_hi)).astype(jnp.int32))
+
+
+def table_gather_pallas(table, sk, interpret: bool = False):
+    """table[sk] for SORTED keys with the whole table VMEM-resident as
+    (rows, 128): each (512, 128) key block fetches table rows
+    rmin/rmin+1 by sublane dynamic-gather (one per-lane VMEM lookup,
+    tpu.dynamic_gather axis 0) and lane-crossbars the low 7 bits
+    (axis 1) — sorted blocks of 128 consecutive keys span at most two
+    table rows except at low occupancy, where the kernel counts spills
+    and ONE gated engine pass fixes them. 4 MB at 2^20 bins: the whole
+    message table rides VMEM for the entire grid, the analog of the
+    reference's cache-resident build side
+    (/root/reference/Result.cpp:43-58). Out-of-range keys yield 0."""
+    n = sk.shape[0]
+    n_bins = table.shape[0]
+    s_rows = -(-n_bins // LANES) + 8       # zero pad past every bin
+    s_rows = -(-s_rows // 8) * 8
+    flat = s_rows * LANES
+    tpad = jnp.zeros(flat, jnp.int32).at[:n_bins].set(table)
+    sent = flat - 1                         # reads the zero pad
+    sk2 = jnp.where((sk < 0) | (sk >= n_bins), jnp.int32(sent), sk)
+    kb = PALLAS_GATHER_KEY_ROWS
+    blk = kb * LANES
+    pad = -n % blk
+    if pad:
+        sk2 = jnp.pad(sk2, (0, pad), constant_values=sent)
+    grid = sk2.shape[0] // blk
+    out, spills = pl.pallas_call(
+        partial(_pgather_kernel, kb, s_rows),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((s_rows, LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((kb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((kb, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((grid * kb, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(tpad.reshape(s_rows, LANES), sk2.reshape(grid * kb, LANES))
+    g = out.reshape(-1)[:n]
+
+    def fix(_gg):
+        # spills are rare (low-occupancy blocks only); the gated
+        # fallback recomputes the whole gather through the engine
+        # rather than tracking which rows spilled — the cond makes
+        # dense inputs never pay it
+        return tpad.at[sk2[:n]].get(mode="promise_in_bounds")
+
+    return jax.lax.cond(spills[0, 0] > 0, fix, lambda gg: gg, g)
 
 
 def table_gather(table, keys, impl: str = "xla"):

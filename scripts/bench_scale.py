@@ -33,6 +33,36 @@ def zipf_keys(key, n, n_keys, s=1.1):
     return ranks
 
 
+# HBM peak bandwidth of device kinds we bench on (bytes/s); the
+# roofline denominator for pct_hbm_peak. v5e: 819 GB/s.
+_HBM_PEAK = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
+
+
+def _roofline(bytes_min: int, dt: float) -> dict:
+    """BASELINE's per-operator roofline accounting for the huge-node
+    passes: bytes_min = the MINIMUM HBM traffic of the measured
+    program (each full logical pass must read its operand columns
+    once; message tables are width-sized, cache-resident), gbps =
+    achieved rate against that floor, pct_hbm_peak = how close the
+    floor-traffic rate is to the chip's peak. 100% would mean the pass
+    streams its operands at speed-of-light with zero overhead (sort
+    network passes, gather/scatter engine latency, loop tails all push
+    it down) — the honest 'is this actually fast?' number VERDICT r4
+    asked for."""
+    import jax
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "?"
+    peak = _HBM_PEAK.get(kind)
+    gbps = bytes_min / dt / 1e9
+    return {"bytes_min": int(bytes_min),
+            "gbps_min_traffic": round(gbps, 1),
+            "pct_hbm_peak": (round(100 * gbps * 1e9 / peak, 2)
+                             if peak else None),
+            "device_kind": kind}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=26,
@@ -251,7 +281,11 @@ def main() -> None:
             for _ in range(iters):
                 outz = engz.run_workload([[qz]])
             dt = (time.time() - t0) / iters
-            print(json.dumps({
+            # roofline: the factorized query is ONE fused window pass
+            # over the fact (gather + A scatter + fold + flag share the
+            # loop): key column (4 B) + uint16 value plane (2 B) per
+            # row; dim-side work is n_keys-sized (noise at this scale)
+            line = {
                 "metric": "zipf_join_engine_tuples_per_s",
                 "rows": nz, "zipf_s": s, "n_keys": n_keys_z,
                 "hot_key_share": round(float(top), 4),
@@ -262,7 +296,10 @@ def main() -> None:
                 "oracle_checked": True,
                 "cross_checked": len(fact_modes) > 1,
                 "value": round((nz + n_keys_z) / dt), "unit": "tuples/s",
-                "seconds": round(dt, 4), "sums": outz[0][:60]}))
+                "seconds": round(dt, 4), "sums": outz[0][:60]}
+            if fact_mode:
+                line.update(fused_passes=1, **_roofline(nz * (4 + 2), dt))
+            print(json.dumps(line))
 
     # --- BASELINE config-4 SHAPE at config-5 SCALE: >= 2^29-row STAR
     # join (fact JOIN dim1 JOIN dim2) + 3 exact u64 SUMs through the
@@ -306,6 +343,10 @@ def main() -> None:
         for _ in range(iters):
             outs = engs.run_workload([[qs]])
         dt = (time.time() - t0) / iters
+        # roofline: one fused window pass over the fact serves both A
+        # builds, all three folds, and the flag (per-window CSE of the
+        # two message gathers): key1 + key2 (4 B each) + uint16 value
+        # plane (2 B) per row
         print(json.dumps({
             "metric": "star_join_big_engine_tuples_per_s",
             "rows": ns, "zipf_s": 1.1, "n_keys": n_keys_s, "n_joins": 2,
@@ -313,7 +354,8 @@ def main() -> None:
                 engs.batch_executor.counters["ftree_queries"] > 0,
             "oracle_checked": True,
             "value": round((ns + 2 * n_keys_s) / dt), "unit": "tuples/s",
-            "seconds": round(dt, 4), "sums": outs[0][:80]}))
+            "seconds": round(dt, 4), "sums": outs[0][:80],
+            "fused_passes": 1, **_roofline(ns * (4 + 4 + 2), dt)}))
 
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:

@@ -405,3 +405,71 @@ def test_huge_star_with_hier_window_scatter(monkeypatch):
     want = [format_result(OracleExecutor(rels).execute(q), 3)]
     assert got == want, (got, want)
     assert engine.batch_executor.counters["ftree_queries"] == 1
+
+
+def test_wsort_fused_pass_matches_oracle(monkeypatch):
+    """Sorted-window fused passes (ftree_window_sort="on"): every huge
+    window is sorted once by the pass's most-consumed key and the
+    primary key's gathers/scatters run the presorted hier kernels
+    (table_gather_hier / weighted_bincount_hier presorted=True) —
+    shrunken kernel thresholds force those paths at test size. Covers
+    single-join (one key: every leg presorted), 2-edge stars (the
+    secondary key's legs read permuted-but-engine), fact masks riding
+    the permutation as sort operands, dim projections (down-pass A
+    builds), ragged-tail live masks through the sort, NULL flags, and
+    a huge wiped boolean component."""
+    import numpy as np
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.oracle import OracleExecutor, format_result
+    from radixhashjoin_tpu.ops import factorized, tables
+    from radixhashjoin_tpu.utils import limbs
+    from radixhashjoin_tpu.workload import (FilterPred, JoinPred,
+                                            Projection, Query)
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 2048)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    # widths (300/200) clear this, so window scatters go hier_presorted
+    monkeypatch.setattr(tables, "MXU_SCATTER_MAX_BINS", 16)
+    # small hier blocks exercise multi-block windows AND spill rows
+    monkeypatch.setattr(tables, "HIER_BLOCK_ROWS", 256)
+    monkeypatch.setattr(tables, "HIER_SUB_WIDTH", 64)
+    monkeypatch.setattr(tables, "HIER_GATHER_BLOCK_ROWS", 256)
+    monkeypatch.setattr(tables, "HIER_GATHER_SUB_WIDTH", 64)
+    rng = np.random.default_rng(97)
+    n = 5 * 4096 + 77                    # ragged, several windows
+    fact = Relation([rng.integers(0, 300, n).astype(np.uint64),
+                     rng.integers(0, 200, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    d1 = Relation([np.arange(300, dtype=np.uint64),
+                   rng.integers(0, 1000, 300).astype(np.uint64)])
+    d2 = Relation([np.arange(200, dtype=np.uint64),
+                   rng.integers(0, 1000, 200).astype(np.uint64)])
+    rels = [fact, d1, d2]
+    star = [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)]
+    queries = [
+        # single join: every huge leg runs presorted
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
+              [Projection(0, 2), Projection(1, 1)]),
+        # star with dim + fact projections (down-pass A builds + folds
+        # + flag share the sorted windows)
+        Query([0, 1, 2], star, [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 2), Projection(1, 1), Projection(2, 1)]),
+        # fact filter -> mask factor rides the window sort
+        Query([0, 1, 2], star, [FilterPred(0, 2, "<", 700)],
+              [Projection(0, 2), Projection(2, 1)]),
+        # NULL via the windowed-OR flag under permuted windows
+        Query([0, 1, 2], star, [FilterPred(1, 1, "=", 55555)],
+              [Projection(0, 2)]),
+        # huge wiped boolean component (clamped lazy gathers, sorted)
+        Query([0, 1, 2, 2], [JoinPred(0, 0, 1, 0), JoinPred(2, 0, 3, 0)],
+              [], [Projection(2, 1)]),
+    ]
+    oracle = OracleExecutor(rels)
+    engine = Engine(rels, EngineConfig(ftree_window_sort="on"))
+    got = engine.run_workload([queries])
+    want = [format_result(oracle.execute(q), len(q.projections))
+            for q in queries]
+    assert got == want, (got, want)
+    # same workload with wsort OFF must agree too (policy equivalence)
+    engine2 = Engine(rels, EngineConfig(ftree_window_sort="off"))
+    assert engine2.run_workload([queries]) == want

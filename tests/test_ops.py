@@ -245,3 +245,50 @@ def test_scatter_add_window_impls_exact():
         got = np.asarray(scatter_add_window(acc0, jnp.asarray(idx),
                                             jnp.asarray(w), impl))
         assert (got == want).all(), impl
+
+
+def test_wide_gather_kernels_exact():
+    """table_gather_{diffcum,hier,pallas}: exact vs the engine on
+    sorted keys, including out-of-range sentinels (drop -> 0),
+    negatives, and sparse inputs that force hier/pallas spill
+    fallbacks (VERDICT r4 #1 kernels)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.tables import (
+        table_gather_diffcum, table_gather_hier, table_gather_pallas)
+    rng = np.random.default_rng(5)
+    for n, bins in ((1 << 15, 1 << 12), (100001, 1 << 16),
+                    (50000, 1 << 20)):
+        table = rng.integers(-2**31, 2**31 - 1, bins).astype(np.int32)
+        keys = np.sort(rng.integers(0, bins, n).astype(np.int32))
+        keys[:3] = -2
+        keys[-4:] = bins
+        ok = (keys >= 0) & (keys < bins)
+        ref = np.where(ok, table[np.clip(keys, 0, bins - 1)], 0)
+        t, k = jnp.asarray(table), jnp.asarray(keys)
+        assert (np.asarray(table_gather_diffcum(t, k)) == ref).all()
+        assert (np.asarray(table_gather_hier(t, k)) == ref).all()
+        assert (np.asarray(
+            table_gather_pallas(t, k, interpret=True)) == ref).all()
+
+
+def test_presorted_bincount_exact_even_when_promise_broken():
+    """weighted_bincount_hier(presorted=True) must stay exact when the
+    input violates the sortedness promise (masked-to-sentinel rows in
+    the middle anchor blocks above their neighbors): negative-local
+    rows spill to the engine scatter instead of silently dropping."""
+    import numpy as np
+    import jax.numpy as jnp
+    from radixhashjoin_tpu.ops.tables import (weighted_bincount_hier,
+                                              weighted_bincount_xla)
+    rng = np.random.default_rng(11)
+    n, bins = 1 << 14, 1 << 13
+    idx = np.sort(rng.integers(0, bins, n).astype(np.int32))
+    idx[rng.integers(0, n, 500)] = bins          # sentinels mid-stream
+    w = rng.integers(0, 100, n).astype(np.int32)
+    ref = np.asarray(weighted_bincount_xla(jnp.asarray(idx),
+                                           jnp.asarray(w), bins))
+    got = np.asarray(weighted_bincount_hier(jnp.asarray(idx),
+                                            jnp.asarray(w), bins,
+                                            presorted=True))
+    assert (got == ref).all()
