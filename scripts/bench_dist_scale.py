@@ -53,6 +53,17 @@ def main() -> None:
     ap.add_argument("--rows-per-chip", type=int, default=22,
                     help="log2 fact rows per chip (default 2^22)")
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--ftree-only", action="store_true",
+                    help="skip the exchange config (its per-chip sort "
+                         "temps at 2^27+ rows/chip exceed host RAM on "
+                         "the virtual mesh)")
+    ap.add_argument("--overfill", action="store_true",
+                    help="give each chip 1.25x 2^rows-per-chip REAL "
+                         "rows so the per-chip shard slice crosses the "
+                         "lazy huge-node threshold (_BIG_WAVE_ROWS) at "
+                         "its REAL value — the shard cap buckets to the "
+                         "next power of two and the validity mask "
+                         "covers the pad (VERDICT r4 #4)")
     args = ap.parse_args()
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -78,7 +89,7 @@ def main() -> None:
 
     ndev = args.devices
     per = 1 << args.rows_per_chip
-    n = ndev * per
+    n = ndev * per * 5 // 4 if args.overfill else ndev * per
     n_keys = 1 << 20
     rng = np.random.default_rng(0)
 
@@ -140,6 +151,9 @@ def main() -> None:
     a, k = captured["d_ftree"]
     _mem_line("d_ftree_star", captured["d_ftree_orig"].lower(*a, **k),
               rows_per_chip=per, devices=ndev)
+
+    if args.ftree_only:
+        return
 
     # ---- config B: exchange pipeline — case-1 all_to_all join of two
     # 2**22-rows/chip sides (permutation keys: every row matches exactly

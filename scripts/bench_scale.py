@@ -88,6 +88,10 @@ def main() -> None:
                    help="log2 fact rows for the big STAR join config "
                         "(0 = skip; combine with --zipf-only to keep "
                         "HBM clean at 2^29+)")
+    p.add_argument("--chain-rows", type=int, default=0,
+                   help="log2 rows for the big CHAIN config (fact1 JOIN "
+                        "fact2 JOIN dim, BOTH facts huge — the 2-deep "
+                        "huge-chain shape of VERDICT r4 #3; 0 = skip)")
     p.add_argument("--skew", action="store_true",
                    help="also run the distributed skew-aware config "
                         "(opt-in: the TPU compiler takes ~60-90 s per "
@@ -98,8 +102,9 @@ def main() -> None:
     args = p.parse_args()
 
     if args.zipf_only:
-        # "only the opt-in big configs": zipf unless a star-only run
-        args.zipf_engine = args.zipf_engine or not args.star_rows
+        # "only the opt-in big configs": zipf unless a star/chain-only run
+        args.zipf_engine = args.zipf_engine or not (args.star_rows
+                                                    or args.chain_rows)
 
     import jax
     import jax.numpy as jnp
@@ -356,6 +361,74 @@ def main() -> None:
             "value": round((ns + 2 * n_keys_s) / dt), "unit": "tuples/s",
             "seconds": round(dt, 4), "sums": outs[0][:80],
             "fused_passes": 1, **_roofline(ns * (4 + 4 + 2), dt)}))
+
+    # --- 2-deep HUGE CHAIN (VERDICT r4 #3): fact1 JOIN fact2 JOIN dim
+    # with BOTH facts past the huge threshold. The up pass B-builds
+    # over huge fact2 with a lazy gather weight (one window loop), the
+    # down pass runs one fused loop per huge node (A build + that
+    # node's folds + flag) — 3 window loops total, the
+    # message-dependency minimum for a chain (up messages flow
+    # bottom-up, down messages top-down: each huge interior node needs
+    # one loop per direction; folds ride the down loop for free). ---
+    if args.chain_rows:
+        nc = 1 << args.chain_rows
+        n_keys_c = 1 << 20
+        ck1 = rng.integers(0, n_keys_c, nc).astype(np.uint64)
+        f1v = rng.integers(0, 1000, nc).astype(np.uint64)
+        ck2a = rng.integers(0, n_keys_c, nc).astype(np.uint64)
+        ck2b = rng.integers(0, n_keys_c, nc).astype(np.uint64)
+        f2v = rng.integers(0, 1000, nc).astype(np.uint64)
+        dv = rng.integers(0, 1000, n_keys_c).astype(np.uint64)
+        fc1 = Relation([ck1, f1v])
+        fc2 = Relation([ck2a, ck2b, f2v])
+        dc = Relation([np.arange(n_keys_c, dtype=np.uint64), dv])
+        qc = Query([0, 1, 2],
+                   [JoinPred(0, 0, 1, 0), JoinPred(1, 1, 2, 0)],
+                   [FilterPred(2, 1, "<", 900)],
+                   [Projection(0, 1), Projection(1, 2),
+                    Projection(2, 1)])
+        # host oracle via bincount algebra (dim keys unique):
+        #   keep[k]   = dim filter on key k
+        #   m1[k]     = fact1 rows with key k;  w2[r] = m1[a_r]*keep[b_r]
+        U = np.uint64
+        keep = (dv < 900).astype(np.uint64)
+        m1 = np.bincount(ck1.astype(np.int64),
+                         minlength=n_keys_c).astype(U)
+        kb = keep[ck2b.astype(np.int64)]
+        w2 = m1[ck2a.astype(np.int64)] * kb              # per-f2 weight
+        # per-key multiplicity of fact2 rows passing the dim filter
+        m2k = np.bincount(ck2a[kb > 0].astype(np.int64),
+                          minlength=n_keys_c).astype(U)
+        e0 = int((f1v * m2k[ck1.astype(np.int64)]).sum(
+            dtype=U)) % 2**64
+        e1 = int((f2v * w2).sum(dtype=U)) % 2**64
+        m2b = np.bincount(ck2b.astype(np.int64),
+                          weights=m1[ck2a.astype(np.int64)].astype(
+                              np.float64), minlength=n_keys_c)
+        # exact u64 bincount of weights (float64 is exact < 2^53; the
+        # per-key weight sums here stay far below that)
+        assert m2b.max() < 2**53
+        e2 = int((dv * m2b.astype(U) * keep).sum(dtype=U)) % 2**64
+        expected = [f"{e0} {e1} {e2}"]
+        engc = Engine([fc1, fc2, dc], EngineConfig())
+        got = engc.run_workload([[qc]])              # compile + warm
+        assert got == expected, (got, expected)
+        t0 = time.time()
+        for _ in range(iters):
+            outc = engc.run_workload([[qc]])
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": "chain_join_big_engine_tuples_per_s",
+            "rows_per_fact": nc, "n_keys": n_keys_c, "n_joins": 2,
+            "factorized":
+                engc.batch_executor.counters["ftree_queries"] > 0,
+            "oracle_checked": True,
+            "value": round(2 * nc / dt), "unit": "tuples/s",
+            "seconds": round(dt, 4), "sums": outc[0][:80],
+            # 3 loops: f2 up-B (k1+k2: 8 B), f1 down (k+plane: 6 B),
+            # f2 down (k1+k2+plane: 10 B)
+            "fused_passes": 3,
+            **_roofline(nc * (8 + 6 + 10), dt)}))
 
     # --- config: Zipf-skewed distributed skew-aware join (opt-in) ---
     if not args.skew:
