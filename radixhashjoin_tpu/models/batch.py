@@ -814,8 +814,18 @@ class BatchExecutor:
                 if p.slot not in comp["set"]:
                     continue
                 planes = cat.proj_planes(q.slots[p.slot], p.col)
+                col_max = int(
+                    cat.relations[q.slots[p.slot]].stats[p.col].max)
                 for (plane, sh) in planes:
-                    projs.append((idx_of[p.slot],))
+                    # static value-bit bound of this plane (load-time
+                    # stats): lets the fused pass PACK the plane into
+                    # the window sort key's low bits
+                    # (ops/factorized.py wsort packing)
+                    pm = col_max >> sh
+                    if len(planes) > 1:
+                        pm = min(pm, 0xFFFF)
+                    projs.append((idx_of[p.slot],
+                                  max(pm.bit_length(), 1)))
                     cols.append(plane)
                     # ftree folds come from weighted_partials_segments
                     # (SEG_SHIFT pieces), not weighted_partials

@@ -140,6 +140,7 @@ class _Tree:
     """Per-spec traced state inside a wave."""
 
     __slots__ = ("spec", "edges", "flag_nodes", "root", "projs",
+                 "plane_bits",
                  "mask", "msg_mask", "tnode", "tnode_b", "tborn", "twidth",
                  "tsel_a", "tsel_b",
                  "pkey", "ckey", "pre", "children", "boolean",
@@ -254,7 +255,11 @@ def _parse_spec(spec, cols, vals, shard=None):
         # precomputed bincounts are catalog-domain long; the edge only
         # spans its own width (slicing drops nothing: codes <= width-1)
         t.pre.append(next_col()[:w] if pre_flag else None)
-    t.planes = [node_col_raw(i) for (i,) in projs]
+    t.planes = [node_col_raw(i) for (i, *_b) in projs]
+    # static value-bit bounds per projection plane (spec-carried, from
+    # load-time stats) — lets sorted windows PACK planes into the sort
+    # key's low bits; 31 = unknown/unpackable
+    t.plane_bits = [(b[0] if b else 31) for (_i, *b) in projs]
 
     t.children = {i: [] for i in range(k)}
     for ei, (p, _c, _pre, _nd, _w) in enumerate(edges):
@@ -361,9 +366,12 @@ class _Lazy:
         self.factors = list(factors)
 
     @classmethod
-    def gather(cls, table, keys, off, clamp):
+    def gather(cls, table, keys, off, clamp, kbits=31):
+        # kbits: static bit bound of the key values (the edge width),
+        # consumed by the sorted-window packer
         return cls(keys.shape[0],
-                   [("gather", table, keys, np.int32(off), bool(clamp))])
+                   [("gather", table, keys, np.int32(off), bool(clamp),
+                     int(kbits))])
 
     def with_mask(self, bvec):
         return (self if bvec is None
@@ -373,7 +381,7 @@ class _Lazy:
         sorted_ids = (cache or {}).get("sorted_ids", ())
         for f in self.factors:
             if f[0] == "gather":
-                _tag, table, keys, off, clamp = f
+                _tag, table, keys, off, clamp = f[:5]
                 k = _slice_cached(keys, start, size, cache)
                 ck = ("g", id(table), id(keys), int(off), clamp)
                 if cache is not None and ck in cache:
@@ -542,7 +550,7 @@ def _collect_pass_arrays(scatters, folds):
         add(key)
         add_lazy(weight)
         add(mask)
-    for (plane, lz) in folds:
+    for (plane, lz, _pb) in folds:
         add(plane)
         add_lazy(lz)
     return arrs
@@ -558,13 +566,87 @@ def _pick_primary(scatters, folds):
             for f in weight.factors:
                 if f[0] == "gather":
                     cnt[id(f[2])] = cnt.get(id(f[2]), 0) + 1
-    for (_plane, lz) in folds:
+    for (_plane, lz, _pb) in folds:
         for f in lz.factors:
             if f[0] == "gather":
                 cnt[id(f[2])] = cnt.get(id(f[2]), 0) + 1
     if not cnt:
         return None
     return max(cnt.items(), key=lambda kv: kv[1])[0]
+
+
+def _pass_bits(scatters, folds, arrs):
+    """Static value-bit bounds per operand array of a fused pass:
+    scatter keys are bounded by their table widths, gather-factor keys
+    by their edge widths (_Lazy.gather kbits), planes by spec-carried
+    load-time stats, boolean masks by 1; uint16 dtype bounds anything
+    else at 16. 31 = unknown (carried raw by the packer — negative or
+    unbounded values must never enter a packed word)."""
+    bits = {}
+
+    def note(a, b):
+        bits[id(a)] = min(bits.get(id(a), 31), b)
+
+    def note_lazy(w):
+        if isinstance(w, _Lazy):
+            for f in w.factors:
+                if f[0] == "gather":
+                    note(f[2], f[5] if len(f) > 5 else 31)
+                elif f[0] == "mask":
+                    note(f[1], 1)
+    for (width, key, _off, weight, mask, _sent) in scatters:
+        note(key, (width - 1).bit_length())
+        note_lazy(weight)
+        if mask is not None:
+            note(mask, 1)
+    for (_plane, lz, pb) in folds:
+        note(_plane, pb)
+        note_lazy(lz)
+    for i, a in arrs.items():
+        if a.dtype == jnp.bool_:
+            bits[i] = min(bits.get(i, 31), 1)
+        elif a.dtype == jnp.uint16:
+            bits[i] = min(bits.get(i, 31), 16)
+    return bits
+
+
+def _plan_packing(primary, arrs, bits, with_live):
+    """First-fit-decreasing layout of a sorted window's operands into
+    int32 words: word 0 carries the primary key in its HIGH bits (so
+    sorting by word 0 sorts by key; low-bit payload ties are free to
+    break arbitrarily — multiset consumers), remaining known-bit
+    payloads fill word 0's low bits then further words; unknown-bit
+    operands ride the sort raw. Returns (layout, raw_ids, n_ops) or
+    None when packing would not shrink the sort's operand count.
+    layout: list of words, each a list of (payload_id, shift, bits);
+    word 0's last entry is ("_key", shift, kbits); live (the ragged
+    tail's already-covered mask) packs as pseudo-id "_live" (1 bit)."""
+    pb = bits.get(primary, 31)
+    if pb >= 31:
+        return None
+    payloads = [(i, bits.get(i, 31)) for i in arrs if i != primary]
+    if with_live:
+        payloads.append(("_live", 1))
+    known = sorted([p for p in payloads if p[1] < 31],
+                   key=lambda x: -x[1])
+    raw = [p[0] for p in payloads if p[1] >= 31]
+    # word 0 starts with the key at its top; payloads stack downward
+    words = [[("_key", 31 - pb, pb)]]
+    space = [31 - pb]
+    for (i, b) in known:
+        for w in range(len(words)):
+            if space[w] >= b:
+                words[w].append((i, space[w] - b, b))
+                space[w] -= b
+                break
+        else:
+            words.append([(i, 31 - b, b)])
+            space.append(31 - b)
+    n_ops = len(words) + len(raw)
+    plain_ops = 1 + len(payloads)
+    if n_ops >= plain_ops:
+        return None
+    return words, raw, n_ops
 
 
 def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
@@ -619,6 +701,8 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
         else None
     arrs = _collect_pass_arrays(scatters, folds) if primary is not None \
         else None
+    bits = (_pass_bits(scatters, folds, arrs) if primary is not None
+            else None)
 
     def scat_impl(key, width, mask):
         # a masked scatter rewrites masked keys to the sentinel AFTER
@@ -636,16 +720,58 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
                else jax.lax.broadcasted_iota(jnp.int32, (size,), 0))
         live_s = None
         if primary is not None:
-            order = [primary] + [i for i in arrs if i != primary]
-            ops = [jax.lax.dynamic_slice(arrs[i], (start,), (size,))
-                   for i in order]
-            if live_rel is not None:
-                ops.append(idx >= live_rel)
-            so = jax.lax.sort(tuple(ops), num_keys=1)
-            for i, s in zip(order, so):
-                cache[("s", i)] = s
-            if live_rel is not None:
-                live_s = so[len(order)]
+            live = (idx >= live_rel) if live_rel is not None else None
+            sl = {i: jax.lax.dynamic_slice(arrs[i], (start,), (size,))
+                  for i in arrs}
+            pk = _plan_packing(primary, arrs, bits, live is not None)
+            if pk is None:
+                order = [primary] + [i for i in arrs if i != primary]
+                ops = [sl[i] for i in order]
+                if live is not None:
+                    ops.append(live)
+                so = jax.lax.sort(tuple(ops), num_keys=1)
+                for i, s in zip(order, so):
+                    cache[("s", i)] = s
+                if live is not None:
+                    live_s = so[len(order)]
+            else:
+                # bit-packed sort: known-bit payloads ride the key
+                # word's low bits (and further words), shrinking the
+                # carrying sort toward the 1-operand rate; values are
+                # nonnegative by the bit bounds' construction
+                words, raw, _n = pk
+
+                def as32(i):
+                    a = (live if i == "_live"
+                         else sl[primary] if i == "_key" else sl[i])
+                    return a.astype(jnp.int32)
+
+                packed = []
+                for wlist in words:
+                    wv = None
+                    for (i, sh, _b) in wlist:
+                        v = as32(i) << sh
+                        wv = v if wv is None else wv | v
+                    packed.append(wv)
+                so = jax.lax.sort(
+                    tuple(packed + [sl[i] for i in raw]), num_keys=1)
+                for wi, wlist in enumerate(words):
+                    wv = so[wi]
+                    for (i, sh, b) in wlist:
+                        v = (wv >> sh) & ((1 << b) - 1)
+                        if i == "_key":
+                            cache[("s", primary)] = v
+                        elif i == "_live":
+                            live_s = v != 0
+                        else:
+                            a = arrs[i]
+                            if a.dtype == jnp.bool_:
+                                v = v != 0
+                            elif a.dtype != jnp.int32:
+                                v = v.astype(a.dtype)
+                            cache[("s", i)] = v
+                for i, s in zip(raw, so[len(words):]):
+                    cache[("s", i)] = s
             cache["sorted_ids"] = {primary}
         sc = []
         for (width, key, off, weight, mask, sent) in scatters:
@@ -665,7 +791,7 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
                               else idx >= live_rel, w, 0)
             sc.append((k, w))
         fc, anyp = [], None
-        for fi, (plane, lz) in enumerate(folds):
+        for fi, (plane, lz, _pb) in enumerate(folds):
             c = lz.window(start, size, cache)
             if live_s is not None:
                 # row positions permuted: the tail's already-covered
@@ -843,8 +969,10 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             if t.pkey[ei].shape[0] > _BIG_WAVE_ROWS:
                 # huge PARENT: defer the gather; boolean trees clamp
                 # per window inside the lazy factor
+                kb = (t.edges[ei][4] - 1).bit_length()
                 resolved.append((t, ei, _Lazy.gather(mega, t.pkey[ei],
-                                                     off, t.boolean)))
+                                                     off, t.boolean,
+                                                     kbits=kb)))
                 continue
             gks.append(t.pkey[ei] + np.int32(off))
             meta.append((t, ei, t.pkey[ei].shape[0]))
@@ -931,7 +1059,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                               down_weight(t, ei), t.msg_mask[p],
                               np.int32(w_edge)))
             folds, fold_pi, flag_idx = [], [], None
-            for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
+            for pi, ((i, *_b), plane) in enumerate(zip(t.projs, t.planes)):
                 if i != p or pi in t.done_folds:
                     continue
                 m_ = _lazy_mul(t.beta[i], t.alpha[i])
@@ -940,7 +1068,8 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 if (i == t.root and t.tnode is None and flag_idx is None
                         and t.msg_mask[i] is t.mask[i]):
                     flag_idx = len(folds)
-                folds.append((plane, m_.with_mask(t.msg_mask[i])))
+                folds.append((plane, m_.with_mask(t.msg_mask[i]),
+                              t.plane_bits[pi]))
                 fold_pi.append(pi)
             A_list, fold_list, anyp = _fused_node_pass(
                 n_node, scats, folds, flag_idx, axis, impl=scatter,
@@ -959,8 +1088,9 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         for (t, ei) in sm + bg:
             off = offs[(id(t), ei)]
             if t.ckey[ei].shape[0] > _BIG_WAVE_ROWS:
-                t.alpha[t.edges[ei][1]] = _Lazy.gather(A, t.ckey[ei],
-                                                       off, t.boolean)
+                t.alpha[t.edges[ei][1]] = _Lazy.gather(
+                    A, t.ckey[ei], off, t.boolean,
+                    kbits=(t.edges[ei][4] - 1).bit_length())
                 continue
             gks.append(t.ckey[ei] + np.int32(off))
             meta.append((t, ei, t.ckey[ei].shape[0]))
@@ -985,7 +1115,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
         # one fused window pass sharing the weight-product gathers,
         # instead of one weighted_partials_big loop per plane
         by_node: dict = {}
-        for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
+        for pi, ((i, *_b), plane) in enumerate(zip(t.projs, t.planes)):
             if pi in t.done_folds:
                 continue
             m = _lazy_mul(t.beta[i], t.alpha[i])
@@ -1002,7 +1132,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                               and msg_mask[i] is mask[i]) else None)
             _al, fold_list, anyp = _fused_node_pass(
                 lst[0][1].shape[0], [],
-                [(plane, m.with_mask(msg_mask[i]))
+                [(plane, m.with_mask(msg_mask[i]), t.plane_bits[_pi])
                  for (_pi, plane, m) in lst], flag_idx, axis,
                 wsort=wsort)
             for (pi, _plane, _m), f in zip(lst, fold_list):
@@ -1011,7 +1141,7 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
                 t.done_flag = anyp
 
         tree_outs, root_fold = [], None
-        for pi, ((i,), plane) in enumerate(zip(t.projs, t.planes)):
+        for pi, ((i, *_b), plane) in enumerate(zip(t.projs, t.planes)):
             if pi in t.done_folds:
                 # already folded inside a fused window loop
                 # (_fused_node_pass) — zero extra passes

@@ -349,8 +349,11 @@ def scatter_add_window(acc, idxs, weights, impl: str = "xla"):
         # the window is a slice of a node-sorted column (persistent
         # sorted layout): the hier build without its carrying sort —
         # the r4 in-loop negative was the per-window sort, not the
-        # blocked MXU sub-tables
+        # blocked MXU sub-tables. sub_width == block_rows keeps skewed
+        # (zipf-tail) windows out of the spill fallback (see
+        # HIER_GATHER_SUB_WIDTH)
         return acc + weighted_bincount_hier(idxs, weights, n_bins,
+                                            sub_width=HIER_BLOCK_ROWS,
                                             presorted=True)
     return acc.at[idxs].add(weights, mode="drop")
 
@@ -441,7 +444,12 @@ def table_gather_diffcum(table, sk):
 
 
 HIER_GATHER_BLOCK_ROWS = 2048
-HIER_GATHER_SUB_WIDTH = 1024
+# sub_width == block_rows: a block of 2048 CONSECUTIVE sorted keys can
+# only leave a 2048-wide window through value GAPS (occupancy < 1
+# key/bin locally) — at 1024 the zipf tail's 2x-span blocks tripped the
+# full-length engine fallback every window (the r5 zipf regression:
+# any(spill) gated a whole extra engine pass, +554 ms/window)
+HIER_GATHER_SUB_WIDTH = 2048
 
 
 def table_gather_hier(table, sk, block_rows: int = HIER_GATHER_BLOCK_ROWS,

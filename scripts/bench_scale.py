@@ -88,6 +88,10 @@ def main() -> None:
                    help="log2 fact rows for the big STAR join config "
                         "(0 = skip; combine with --zipf-only to keep "
                         "HBM clean at 2^29+)")
+    p.add_argument("--wsort", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="ftree_window_sort policy for the big engine "
+                        "configs (A/B the sorted-window fused passes)")
     p.add_argument("--chain-rows", type=int, default=0,
                    help="log2 rows for the big CHAIN config (fact1 JOIN "
                         "fact2 JOIN dim, BOTH facts huge — the 2-deep "
@@ -279,7 +283,9 @@ def main() -> None:
         # with the host oracle carrying the exactness check
         fact_modes = (True, False) if args.zipf_rows <= 27 else (True,)
         for fact_mode in fact_modes:
-            engz = Engine([factz, dimz], EngineConfig(factorized=fact_mode))
+            engz = Engine([factz, dimz],
+                          EngineConfig(factorized=fact_mode,
+                                       ftree_window_sort=args.wsort))
             got = engz.run_workload([[qz]])              # compile + warm
             assert got == expected, (got, expected)
             t0 = time.time()
@@ -294,7 +300,7 @@ def main() -> None:
                 "metric": "zipf_join_engine_tuples_per_s",
                 "rows": nz, "zipf_s": s, "n_keys": n_keys_z,
                 "hot_key_share": round(float(top), 4),
-                "factorized": fact_mode,
+                "factorized": fact_mode, "wsort": args.wsort,
                 # both exactness sources, self-described: the numpy host
                 # oracle always asserts; the materializing engine path
                 # cross-checks only while its pair matrix fits HBM
@@ -341,7 +347,8 @@ def main() -> None:
         e2 = int((d2v[zk2.astype(np.int64)] * keep).sum(dtype=np.uint64)
                  ) % 2**64
         expected = [f"{e0} {e1} {e2}"]
-        engs = Engine([facts, d1, d2], EngineConfig())
+        engs = Engine([facts, d1, d2],
+                      EngineConfig(ftree_window_sort=args.wsort))
         got = engs.run_workload([[qs]])              # compile + warm
         assert got == expected, (got, expected)
         t0 = time.time()
@@ -357,6 +364,7 @@ def main() -> None:
             "rows": ns, "zipf_s": 1.1, "n_keys": n_keys_s, "n_joins": 2,
             "factorized":
                 engs.batch_executor.counters["ftree_queries"] > 0,
+            "wsort": args.wsort,
             "oracle_checked": True,
             "value": round((ns + 2 * n_keys_s) / dt), "unit": "tuples/s",
             "seconds": round(dt, 4), "sums": outs[0][:80],
@@ -410,7 +418,8 @@ def main() -> None:
         assert m2b.max() < 2**53
         e2 = int((dv * m2b.astype(U) * keep).sum(dtype=U)) % 2**64
         expected = [f"{e0} {e1} {e2}"]
-        engc = Engine([fc1, fc2, dc], EngineConfig())
+        engc = Engine([fc1, fc2, dc],
+                      EngineConfig(ftree_window_sort=args.wsort))
         got = engc.run_workload([[qc]])              # compile + warm
         assert got == expected, (got, expected)
         t0 = time.time()
@@ -422,6 +431,7 @@ def main() -> None:
             "rows_per_fact": nc, "n_keys": n_keys_c, "n_joins": 2,
             "factorized":
                 engc.batch_executor.counters["ftree_queries"] > 0,
+            "wsort": args.wsort,
             "oracle_checked": True,
             "value": round(2 * nc / dt), "unit": "tuples/s",
             "seconds": round(dt, 4), "sums": outc[0][:80],
