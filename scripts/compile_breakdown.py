@@ -15,6 +15,7 @@ repo's persistent .jax_cache is untouched.)
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -30,6 +31,10 @@ SMALL = "/root/reference/small"
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage-group", type=int, default=0,
+                    help="override EngineConfig.stage_group (0 = default)")
+    args = ap.parse_args()
     import jax
 
     from radixhashjoin_tpu.config import EngineConfig
@@ -66,7 +71,9 @@ def main() -> int:
         golden = [line.rstrip("\n") for line in f]
 
     t0 = time.time()
-    engine = Engine(relations, EngineConfig())
+    cfg = (EngineConfig(stage_group=args.stage_group)
+           if args.stage_group else EngineConfig())
+    engine = Engine(relations, cfg)
     t_init = time.time() - t0
     t0 = time.time()
     got = engine.run_workload(batches)
@@ -80,6 +87,7 @@ def main() -> int:
                               "head": list(head)}))
     print(json.dumps({
         "metric": "cold_breakdown_s", "unit": "s",
+        "stage_group": cfg.stage_group,
         "engine_init_s": round(t_init, 2),
         "cold_wall_s": round(cold, 2),
         "n_stage_dispatches": len(calls),
