@@ -443,13 +443,17 @@ def table_gather_diffcum(table, sk):
     return jnp.cumsum(acc[:n])
 
 
-HIER_GATHER_BLOCK_ROWS = 2048
-# sub_width == block_rows: a block of 2048 CONSECUTIVE sorted keys can
-# only leave a 2048-wide window through value GAPS (occupancy < 1
-# key/bin locally) — at 1024 the zipf tail's 2x-span blocks tripped the
-# full-length engine fallback every window (the r5 zipf regression:
-# any(spill) gated a whole extra engine pass, +554 ms/window)
-HIER_GATHER_SUB_WIDTH = 2048
+# sub_width == block_rows: a block of consecutive sorted keys can only
+# leave an equal-width window through value GAPS (occupancy < 1 key/bin
+# locally) — any sub_width < block_rows tripped the full-length engine
+# spill fallback on zipf tails (+554 ms/window at 2^26). The r5 robust
+# sweep (readback-forced timing, sorted zipf keys, 2^26 rows):
+#   (1024,1024) gather 198 ms  build 240 ms   <- gather optimum
+#   (2048,2048) gather 240 ms  build 227 ms   <- build optimum
+#   (512,512)   gather 279 ms  build 369 ms
+# vs the engines' 580 ms gather / 449 ms scatter.
+HIER_GATHER_BLOCK_ROWS = 1024
+HIER_GATHER_SUB_WIDTH = 1024
 
 
 def table_gather_hier(table, sk, block_rows: int = HIER_GATHER_BLOCK_ROWS,

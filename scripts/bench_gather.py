@@ -48,6 +48,8 @@ _SYNC_FLOOR = 0.0
 
 
 def _enter_degraded_mode():
+    """One real value readback (the axon transport lies to
+    block_until_ready otherwise) + measure the per-readback floor."""
     global _SYNC_FLOOR
     import jax
     import jax.numpy as jnp
@@ -58,20 +60,26 @@ def _enter_degraded_mode():
     floors = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(g(x))
+        np.asarray(g(x))
         floors.append(time.time() - t0)
     _SYNC_FLOOR = min(floors)
 
 
-def _time(f, *args, iters=5):
+def _time(f, *args, iters=10):
+    """Per-call seconds: N chained dispatches ending in ONE dependent
+    value readback (np.asarray of an element — the transport cannot
+    fake it, unlike block_until_ready: sub-floor r5 readings were
+    artifacts), minus the readback floor, amortized. None when the
+    measurement collapses below resolution."""
     import jax
+    import numpy as np
     r = f(*args)
-    jax.block_until_ready(r)
+    np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
     t0 = time.time()
     for _ in range(iters):
         r = f(*args)
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / iters - _SYNC_FLOOR
+    np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+    dt = (time.time() - t0 - _SYNC_FLOOR) / iters
     return dt if dt > 1e-6 else None
 
 
