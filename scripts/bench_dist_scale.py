@@ -105,7 +105,8 @@ def main() -> None:
             return orig(*a, **k)
         return orig, run
 
-    for nm in ("d_ftree", "d_case1_probe", "d_project"):
+    for nm in ("d_ftree", "d_case1_probe", "d_case1_expand",
+               "d_project"):
         orig, run = spy(nm)
         captured[nm + "_orig"] = orig
         setattr(dist_executor, nm, run)
@@ -188,6 +189,13 @@ def main() -> None:
     a, k = captured["d_case1_probe"]
     _mem_line("d_case1_probe", captured["d_case1_probe_orig"]
               .lower(*a, **k), rows_per_chip=per, devices=ndev)
+    # the expand's pair buffer is count-then-materialize sized: out_cap
+    # comes from the probe's measured max total (bucketed), so its
+    # per-chip bytes are output-proportional, not worst-case
+    a, k = captured["d_case1_expand"]
+    _mem_line("d_case1_expand", captured["d_case1_expand_orig"]
+              .lower(*a, **k), rows_per_chip=per, devices=ndev,
+              out_cap=a[2] if len(a) > 2 else None)
     # the d_project request-matrix shrink: worst-case capacity vs the
     # histogram-sized gcap the executor actually picked
     a, k = captured["d_project"]
