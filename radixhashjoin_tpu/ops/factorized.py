@@ -676,13 +676,14 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
         order is free). Consumers then read permuted slices
         transparently through the window cache, and the primary key's
         gathers/scatters run the presorted hier kernels instead of the
-        fixed-function engines: measured 613-693 M elem/s gathers and
-        1.76 G updates/s builds vs the engines' ~144/136 M
-        (EVIDENCE_r05) — one ~305 M rows/s carrying sort buys both.
-        The r4 negative (per-window hier at 16.7 -> 23.2 s) paid one
-        sort per SCATTER; this pays one per WINDOW for every consumer.
-        Single-chip only (axis None): distributed shards keep engine
-        order.
+        fixed-function engines: 339 M elem/s gathers and 295 M
+        updates/s builds vs the engines' 116/150 M, bought by one
+        ~363 M rows/s bit-packed carrying sort (readback-forced
+        timings, EVIDENCE_r05; end to end the same-session A/B at
+        2^29 zipf measured 13.83 -> 4.72 s). The r4 negative
+        (per-window hier at 16.7 -> 23.2 s) paid one sort per SCATTER;
+        this pays one per WINDOW for every consumer. Single-chip only
+        (axis None): distributed shards keep engine order.
     Returns ([A_i], [fold_i], anyp_or_None). Exactness: full windows
     are disjoint; the ragged tail re-runs the LAST w_rows with rows
     already covered masked to zero weight (scatter adds zero, fold
@@ -692,17 +693,28 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
     """
     from .tables import MXU_SCATTER_MAX_BINS, scatter_add_window
     _win_guard(n)
-    chunk = seg_chunk(n, 1) if folds else 1
-    w_rows = max(_win_rows(), chunk)
-    n_full = n // w_rows
-    m = (n_full * w_rows) // chunk if folds else 0
-
     primary = _pick_primary(scatters, folds) if (wsort and axis is None) \
         else None
     arrs = _collect_pass_arrays(scatters, folds) if primary is not None \
         else None
     bits = (_pass_bits(scatters, folds, arrs) if primary is not None
             else None)
+
+    chunk = seg_chunk(n, 1) if folds else 1
+    base_rows = _win_rows()
+    if primary is not None and len(arrs) > 2:
+        # sorted windows add O(window x operands) temps (sort in/out +
+        # the hier kernels' per-block tensors, ~16 B/row for the limb
+        # matmul outputs alone): a 3+-operand pass (the 1B star: key1 +
+        # key2 + plane over 10 GB of resident args) OOMs a 16 GB v5e
+        # at 2^26-row windows — halve them to keep the window
+        # footprint ~flat in operand count (the 2-operand zipf pass
+        # keeps full windows; sort amortization loses only the log2
+        # factor of one halving)
+        base_rows //= 2
+    w_rows = max(base_rows, chunk)
+    n_full = n // w_rows
+    m = (n_full * w_rows) // chunk if folds else 0
 
     def scat_impl(key, width, mask):
         # a masked scatter rewrites masked keys to the sentinel AFTER
