@@ -4,7 +4,12 @@ logic runs without TPU hardware (SURVEY.md §4). Must run before jax imports.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# RHJ_TPU_SMOKE=1 keeps the real TPU visible for the tpu_smoke tier
+# (tests/test_tpu_smoke.py); everything else runs on the virtual CPU
+# mesh regardless of hardware
+_TPU_SMOKE = os.environ.get("RHJ_TPU_SMOKE") == "1"
+if not _TPU_SMOKE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # 8-virtual-device CPU platform.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SMOKE:
+    jax.config.update("jax_platforms", "cpu")
 # Share the persistent XLA compilation cache (set up by the package import):
 # the engine compiles one program per (op, shape-bucket); the cache makes
 # repeat test runs compile-free.
@@ -52,3 +58,9 @@ def make_relation(rng, n, cols, max_val=1 << 18):
     data = [rng.integers(0, max_val, size=n).astype(np.uint64)
             for _ in range(cols)]
     return Relation(data)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--run-tpu-smoke", action="store_true", default=False,
+                     help="run the TPU-gated huge-path smoke tier "
+                          "(tests/test_tpu_smoke.py) — real TPU only")
