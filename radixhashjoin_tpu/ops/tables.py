@@ -37,6 +37,16 @@ bandwidth-bound ops. Three alternatives, each exact:
 picks from the committed measurements (scripts/bench_tables.py) by
 backend, table width, and row count. All variants drop out-of-range
 indices (the wave's mask sentinel) like `.at[].add(mode="drop")`.
+
+MEASUREMENT CAVEAT (r5): the r2/r3-era rates quoted in docstrings
+below were taken with block_until_ready-based timing, which the axon
+transport can satisfy WITHOUT waiting — treat them as upper bounds.
+The r5 readback-forced re-measurements (EVIDENCE_r05) are the
+authoritative numbers for the sorted/presorted hier kernels: gather
+339 M elem/s and build 295 M updates/s at 2^20 bins vs the engines'
+116/150 M. The narrow-table MXU breakevens keep their r3 thresholds
+until re-certified the same way (scripts/bench_tables.py now uses the
+robust timer).
 """
 
 from __future__ import annotations
