@@ -144,16 +144,18 @@ class BatchExecutor:
                     else "sort")
         self.join = JoinBackend(kind, self.catalog.domain)
 
-    def _resolve_wsort(self) -> bool:
+    def _resolve_wsort(self) -> str:
         """Static sorted-window policy for huge-node fused passes
-        (config.ftree_window_sort): "auto" engages only on TPU device
-        kinds with committed kernel shootouts, like the table-kernel
-        autos (ops/tables.py:_measured_tpu)."""
+        (config.ftree_window_sort): "auto" engages on TPU device kinds
+        with committed kernel shootouts (ops/tables.py:_measured_tpu)
+        and only for the measured-win pass class — <= 2 window
+        operands ("mono"; the 3-operand star measured a 4.5% loss,
+        EVIDENCE_r05). "on" forces sorted windows for every pass."""
         ws = self.config.ftree_window_sort
         if ws == "auto":
             from ..ops.tables import _measured_tpu
-            return _measured_tpu()
-        return ws == "on"
+            return "mono" if _measured_tpu() else "off"
+        return ws
 
     # ---- phases ----
 

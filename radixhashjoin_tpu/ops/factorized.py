@@ -693,25 +693,38 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
     """
     from .tables import MXU_SCATTER_MAX_BINS, scatter_add_window
     _win_guard(n)
-    primary = _pick_primary(scatters, folds) if (wsort and axis is None) \
-        else None
+    if wsort is True:
+        wsort = "on"
+    elif not wsort:
+        wsort = "off"
+    primary = (_pick_primary(scatters, folds)
+               if (wsort != "off" and axis is None) else None)
     arrs = _collect_pass_arrays(scatters, folds) if primary is not None \
         else None
+    if primary is not None and wsort == "mono" and len(arrs) > 2:
+        # the "auto" policy: engage only the measured-WIN class. A
+        # 2-operand pass (one key + one plane: the zipf shape) measured
+        # 13.83 -> 4.72 s; a 3-operand pass (the star: two keys + a
+        # plane) measured 38.93 -> 40.68 s same-session — only the
+        # primary key's legs improve while every leg pays the sort and
+        # the quartered window. "on" forces sorted windows everywhere.
+        primary = arrs = None
     bits = (_pass_bits(scatters, folds, arrs) if primary is not None
             else None)
 
     chunk = seg_chunk(n, 1) if folds else 1
     base_rows = _win_rows()
     if primary is not None and len(arrs) > 2:
-        # sorted windows add O(window x operands) temps (sort in/out +
-        # the hier kernels' per-block tensors, ~16 B/row for the limb
-        # matmul outputs alone): a 3+-operand pass (the 1B star: key1 +
-        # key2 + plane over 10 GB of resident args) OOMs a 16 GB v5e
-        # at 2^26-row windows — halve them to keep the window
-        # footprint ~flat in operand count (the 2-operand zipf pass
-        # keeps full windows; sort amortization loses only the log2
-        # factor of one halving)
-        base_rows //= 2
+        # sorted windows add O(window x operands) temps (sort in/out,
+        # unpacked slices, and the hier kernels' block tensors — XLA
+        # materializes multi-hundred-MB slabs for the batched one-hot
+        # matmuls): a 3+-operand pass (the 1B star: key1 + key2 +
+        # plane over 10 GB of resident args) OOMed a 16 GB v5e at
+        # 2^26-row windows AND at 2^25 — quarter them. The 2-operand
+        # zipf pass keeps full windows (measured 9.45 s at 2^30);
+        # sort amortization only loses the log2 factor of two
+        # halvings.
+        base_rows //= 4
     w_rows = max(base_rows, chunk)
     n_full = n // w_rows
     m = (n_full * w_rows) // chunk if folds else 0
