@@ -123,11 +123,13 @@ class EngineConfig:
     # sorted-window fused passes over HUGE nodes ("on"/"off"/"auto"):
     # every window of a huge-node pass is sorted once by its
     # most-consumed key column so that key's gathers/scatters run the
-    # presorted hier kernels (613-693 M gathers/s, 1.76 G updates/s)
-    # instead of the ~140 M/s fixed-function engines, one carrying sort
-    # (~305-470 M rows/s) buying all consumers. "auto" = on for TPU
-    # device kinds with committed shootout measurements
-    # (ops/tables.py:_MEASURED_KINDS), off elsewhere.
+    # presorted hier kernels (339 M gathers/s, 295 M updates/s vs the
+    # 116/150 M fixed-function engines; readback-forced timings,
+    # EVIDENCE_r05) — one bit-packed carrying sort (~363 M rows/s)
+    # buys every consumer. "auto" = TPU device kinds with committed
+    # shootouts AND only the measured-win pass class (<= 2 window
+    # operands: the 2^29 zipf A/B'd 13.83 -> 4.72 s; the 3-operand
+    # star A/B'd a 4.5% LOSS); "on" forces every pass.
     ftree_window_sort: str = "auto"
 
     # --- dtype policy ---

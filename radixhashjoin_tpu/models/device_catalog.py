@@ -130,6 +130,15 @@ class DeviceCatalog:
                     self.dict_vals,
                     self.relations[rel_id].values[col]).astype(np.int32)
             self._cols[key] = self._put_rows(rel_id, host)
+            if (self.dict_vals is None and key in self._planes
+                    and self._planes[key][0][0].dtype == np.uint16):
+                # a projection materialized a uint16 plane BEFORE this
+                # join/filter needed the int32 copy: re-alias the plane
+                # to the int32 column (identical values) and free the
+                # uint16 copy — otherwise the column is resident TWICE
+                # (6 B/row instead of 4; the aliasing decision in
+                # proj_planes is order-dependent without this)
+                self._planes[key] = [(self._cols[key], 0)]
         return self._cols[key]
 
     def encode_filter(self, op: str, value: int) -> Tuple[int, np.int32]:

@@ -391,9 +391,9 @@ class _Lazy:
                     # the window was sorted by THIS key column
                     # (_fused_node_pass wsort): the hier gather reads
                     # sub_width-wide table windows + blocked one-hot MXU
-                    # lookups — measured 693 M elem/s vs the engine's
-                    # 144 M at 2^20 bins (EVIDENCE_r05); adding the
-                    # offset preserves sortedness
+                    # lookups — 339-391 M elem/s vs the engine's 116 M
+                    # at 2^20 bins (readback-forced, EVIDENCE_r05);
+                    # adding the offset preserves sortedness
                     from .tables import table_gather_hier
                     g = table_gather_hier(table, k + off)
                 else:
@@ -1147,10 +1147,12 @@ def run_ftree_wave(wspecs, cols, vals, axis=None, shards=None,
             if isinstance(m, _Lazy):
                 by_node.setdefault(i, []).append((pi, plane, m))
         for i, lst in by_node.items():
-            if len(lst) < 2 and not wsort:
+            if len(lst) < 2 and wsort in (False, None, "off"):
                 # a single lazy fold goes through weighted_partials_big
-                # below — UNLESS wsort is on, where the fused pass's
-                # sorted windows buy the hier gathers even for one fold
+                # below — UNLESS wsort may engage, where the fused
+                # pass's sorted windows buy the hier gathers even for
+                # one fold (note wsort is a MODE STRING here: the
+                # literal "off" must route like False)
                 continue
             flag_idx = (0 if (i == t.root and t.tnode is None
                               and t.done_flag is None

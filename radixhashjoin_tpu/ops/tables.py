@@ -148,8 +148,8 @@ HIER_SUB_WIDTH = 1024
 
 
 def weighted_bincount_hier(idxs, weights, n_bins: int,
-                           block_rows: int = HIER_BLOCK_ROWS,
-                           sub_width: int = HIER_SUB_WIDTH,
+                           block_rows: int = None,
+                           sub_width: int = None,
                            presorted: bool = False):
     """Hierarchical wide-table build: ONE carrying sort groups the rows,
     then every block of `block_rows` consecutive sorted rows MXU-builds a
@@ -181,6 +181,10 @@ def weighted_bincount_hier(idxs, weights, n_bins: int,
     and every out-of-window row lands in the spill scatter — but the
     point of the promise is speed: the r4 in-loop negative (16.7 ->
     23.2 s with per-window hier) was exactly the per-window sort."""
+    # late-bound defaults: read the module globals at CALL time so
+    # tests can monkeypatch HIER_* (def-time defaults froze them)
+    block_rows = HIER_BLOCK_ROWS if block_rows is None else block_rows
+    sub_width = HIER_SUB_WIDTH if sub_width is None else sub_width
     n = idxs.shape[0]
     idxs = jnp.where(idxs < 0, n_bins, idxs)
     pad = -n % block_rows
@@ -466,8 +470,8 @@ HIER_GATHER_BLOCK_ROWS = 1024
 HIER_GATHER_SUB_WIDTH = 1024
 
 
-def table_gather_hier(table, sk, block_rows: int = HIER_GATHER_BLOCK_ROWS,
-                      sub_width: int = HIER_GATHER_SUB_WIDTH):
+def table_gather_hier(table, sk, block_rows: int = None,
+                      sub_width: int = None):
     """table[sk] for SORTED keys via blocked one-hot MXU lookups from
     sub_width-wide table windows anchored at each block's first key —
     the gather mirror of weighted_bincount_hier: sortedness makes every
@@ -480,6 +484,10 @@ def table_gather_hier(table, sk, block_rows: int = HIER_GATHER_BLOCK_ROWS,
     possible at low occupancy) or is out of range are masked out of the
     MXU pass and fixed by one engine gather, gated by lax.cond on the
     spill count. Out-of-range keys yield 0 (mode='drop' semantics)."""
+    block_rows = (HIER_GATHER_BLOCK_ROWS if block_rows is None
+                  else block_rows)
+    sub_width = (HIER_GATHER_SUB_WIDTH if sub_width is None
+                 else sub_width)
     n = sk.shape[0]
     n_bins = table.shape[0]
     sent = n_bins + sub_width              # past every window: spills

@@ -44,43 +44,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
-_SYNC_FLOOR = 0.0
-
-
-def _enter_degraded_mode():
-    """One real value readback (the axon transport lies to
-    block_until_ready otherwise) + measure the per-readback floor."""
-    global _SYNC_FLOOR
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    np.asarray(jnp.zeros(1))
-    g = jax.jit(lambda x: x + 1)
-    x = jnp.zeros(1, jnp.int32)
-    floors = []
-    for _ in range(5):
-        t0 = time.time()
-        np.asarray(g(x))
-        floors.append(time.time() - t0)
-    _SYNC_FLOOR = min(floors)
-
-
-def _time(f, *args, iters=10):
-    """Per-call seconds: N chained dispatches ending in ONE dependent
-    value readback (np.asarray of an element — the transport cannot
-    fake it, unlike block_until_ready: sub-floor r5 readings were
-    artifacts), minus the readback floor, amortized. None when the
-    measurement collapses below resolution."""
-    import jax
-    import numpy as np
-    r = f(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
-    t0 = time.time()
-    for _ in range(iters):
-        r = f(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
-    dt = (time.time() - t0 - _SYNC_FLOOR) / iters
-    return dt if dt > 1e-6 else None
+from _bench_timing import (enter_degraded_mode as _enter_degraded_mode,
+                           timeit as _time)
 
 
 def main() -> None:

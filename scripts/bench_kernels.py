@@ -28,40 +28,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
-_SYNC_FLOOR = 0.0
-
-
-def _enter_degraded_mode():
-    """Force the axon transport into its post-readback state and measure
-    the per-sync floor. BEFORE a process's first device->host transfer,
-    `block_until_ready` does NOT actually wait on this transport —
-    fresh-mode timings are fiction (measured 2026-08-18: a 16.7M gather
-    "took" 0.07 ms fresh vs 147 ms degraded). Every number here is
-    measured in degraded mode with the sync floor subtracted."""
-    global _SYNC_FLOOR
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    np.asarray(jnp.zeros(1))            # first D2H: degrade the transport
-    g = jax.jit(lambda x: x + 1)
-    x = jnp.zeros(1, jnp.int32)
-    floors = []
-    for _ in range(5):
-        t0 = time.time()
-        jax.block_until_ready(g(x))
-        floors.append(time.time() - t0)
-    _SYNC_FLOOR = min(floors)
+# timing discipline lives in ONE place (r5: even degraded-mode
+# block_until_ready can lie — only dependent value readbacks
+# force completion; see scripts/_bench_timing.py)
+from _bench_timing import (enter_degraded_mode as _enter_degraded_mode,
+                           timeit as _timeit)
 
 
 def _time(f, *args, iters=10):
-    import jax
-    r = f(*args)
-    jax.block_until_ready(r)
-    t0 = time.time()
-    for _ in range(iters):
-        r = f(*args)
-    jax.block_until_ready(r)
-    return max((time.time() - t0 - _SYNC_FLOOR) / iters, 1e-9)
+    dt = _timeit(f, *args, iters=iters)
+    return dt if dt is not None else 1e-9
 
 
 def main() -> None:

@@ -164,3 +164,31 @@ def test_wide_parallel_edges_matches_oracle(seed):
     want = [format_result(oracle.execute(q), len(q.projections))
             for q in queries]
     assert got == want
+
+
+def test_plane_column_alias_both_orders(monkeypatch):
+    """The uint16 projection plane must never stay resident NEXT TO the
+    int32 copy of the same huge identity column, whichever of
+    proj_planes()/col() runs first (the r4-ADVICE aliasing fix was
+    order-dependent: projection-then-join kept both, 6 B/row)."""
+    import numpy as np
+    from radixhashjoin_tpu.models import device_catalog as dc
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.storage import Relation
+    monkeypatch.setattr(dc, "_NARROW_PLANE_MIN_ROWS", 100)
+    rng = np.random.default_rng(0)
+    rel = Relation([rng.integers(0, 1000, 500).astype(np.uint64)])
+
+    # order A: join/filter first -> plane aliases the int32 column
+    cat = dc.DeviceCatalog([rel], EngineConfig())
+    c = cat.col(0, 0)
+    planes = cat.proj_planes(0, 0)
+    assert planes[0][0] is c
+
+    # order B: projection first (uint16 plane), join later -> the
+    # plane re-aliases to the int32 column and the uint16 copy frees
+    cat2 = dc.DeviceCatalog([rel], EngineConfig())
+    p0 = cat2.proj_planes(0, 0)[0][0]
+    assert p0.dtype == np.uint16
+    c2 = cat2.col(0, 0)
+    assert cat2.proj_planes(0, 0)[0][0] is c2
