@@ -519,3 +519,52 @@ def test_huge_chain_two_deep_matches_oracle(monkeypatch):
         engine = Engine(rels, EngineConfig(ftree_window_sort=ws))
         got = engine.run_workload([queries])
         assert got == want, (ws, got, want)
+
+
+def test_wsort_unpackable_payloads_match_oracle(monkeypatch):
+    """Sorted windows when bit-packing cannot WIN: a 16-bit key width
+    plus a 16-bit plane cannot share one int32 word (16+16 > 31), so
+    _plan_packing returns None and the PLAIN multi-operand sort path
+    runs (the packer must decline, not mis-pack). Exactness vs the
+    oracle with wsort on/off."""
+    import numpy as np
+    from radixhashjoin_tpu.config import EngineConfig
+    from radixhashjoin_tpu.models.engine import Engine
+    from radixhashjoin_tpu.oracle import OracleExecutor, format_result
+    from radixhashjoin_tpu.ops import factorized
+    from radixhashjoin_tpu.utils import limbs
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 2048)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    rng = np.random.default_rng(41)
+    n = 3 * 4096 + 7
+    nk = 60000                         # 16-bit key domain and plane
+    fact = Relation([rng.integers(0, nk, n).astype(np.uint64),
+                     rng.integers(0, nk, n).astype(np.uint64)])
+    dim = Relation([np.arange(nk, dtype=np.uint64),
+                    rng.integers(0, 1000, nk).astype(np.uint64)])
+    rels = [fact, dim]
+    queries = [
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
+              [Projection(0, 1), Projection(1, 1)]),
+    ]
+    oracle = OracleExecutor(rels)
+    want = [format_result(oracle.execute(q), len(q.projections))
+            for q in queries]
+    # prove the packer declines (plain sorted path) while wsort engages
+    seen = []
+    orig = factorized._plan_packing
+
+    def spy(*a):
+        r = orig(*a)
+        seen.append(r)
+        return r
+    monkeypatch.setattr(factorized, "_plan_packing", spy)
+    for ws in ("on", "off"):
+        engine = Engine(rels, EngineConfig(ftree_window_sort=ws))
+        got = engine.run_workload([queries])
+        assert got == want, (ws, got, want)
+    # the fact pass's 16+16-bit layout must DECLINE packing (plain
+    # sorted path); the dim node's 10-bit fold plane still packs —
+    # both paths run in this one workload
+    assert any(r is None for r in seen), seen
+    assert any(r is not None for r in seen), seen
