@@ -697,8 +697,11 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
         wsort = "on"
     elif not wsort:
         wsort = "off"
+    # sorted windows work under shard_map too: every window is a
+    # slice of THIS chip's shard, so the sort is collective-free and
+    # the psum'd accs are unaffected (multiset ops)
     primary = (_pick_primary(scatters, folds)
-               if (wsort != "off" and axis is None) else None)
+               if wsort != "off" else None)
     arrs = _collect_pass_arrays(scatters, folds) if primary is not None \
         else None
     if primary is not None and wsort == "mono" and len(arrs) > 2:
@@ -730,11 +733,11 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
     m = (n_full * w_rows) // chunk if folds else 0
 
     def scat_impl(key, width, mask):
-        # a masked scatter rewrites masked keys to the sentinel AFTER
-        # the window sort, breaking the presorted promise mid-stream
-        # (every such window would pay the hier spill fallback) — keep
-        # the engine there
-        if primary is not None and id(key) == primary and mask is None \
+        # primary-key scatters run the presorted hier build; masked
+        # ones keep their sorted order because eval_win zeroes the
+        # WEIGHT instead of rewriting masked keys to the sentinel
+        del mask
+        if primary is not None and id(key) == primary \
                 and width > MXU_SCATTER_MAX_BINS:
             return "hier_presorted"
         return impl
@@ -809,8 +812,18 @@ def _fused_node_pass(n, scatters, folds, flag_idx, axis, impl="xla",
                 w = _slice_cached(weight, start, size, cache)
             if mask is not None:
                 mk = _slice_cached(mask, start, size, cache)
-                k = jnp.where(mk, k, sent)
-                w = jnp.where(mk, w, 0)
+                if primary is not None and id(key) == primary:
+                    # the window is sorted by THIS key: zeroing the
+                    # WEIGHT alone preserves both the scatter's value
+                    # (adding 0) and the sorted order the presorted
+                    # hier build relies on — key codes are always
+                    # in-range (< width by the planner's construction;
+                    # shard pads hold zeros), so the sentinel rewrite
+                    # is unnecessary here
+                    w = jnp.where(mk, w, 0)
+                else:
+                    k = jnp.where(mk, k, sent)
+                    w = jnp.where(mk, w, 0)
             if live_rel is not None:
                 w = jnp.where(live_s if live_s is not None
                               else idx >= live_rel, w, 0)

@@ -146,7 +146,8 @@ class DistExecutor:
                                     tuple(node_rows), tuple(node_caps),
                                     col_sharded, tuple(cols), tuple(vals),
                                     scatter=self.config.ftree_scatter,
-                                    gather=self.config.ftree_gather))
+                                    gather=self.config.ftree_gather,
+                                    wsort=self._planner._resolve_wsort()))
         total_nf = sum(cached[4] for _, cached in items)
         parts_all = merge_fold16(packed[total_nf:].reshape(2, -1, 5, 3))
         out: List[Optional[List[int]]] = []

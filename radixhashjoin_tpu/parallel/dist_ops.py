@@ -638,9 +638,9 @@ def d_project(mesh, axis, row: int, plane, mat, icnts, gchunks: int = 1,
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "wspecs", "node_rows",
                                    "node_caps", "col_sharded", "scatter",
-                                   "gather"))
+                                   "gather", "wsort"))
 def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded,
-            cols, vals, scatter="xla", gather="xla"):
+            cols, vals, scatter="xla", gather="xla", wsort="off"):
     """Whole factorized queries SPMD (ops/factorized.py:run_ftree_wave
     in distributed mode): every node column arrives as this chip's ROW
     SHARD (DeviceCatalog.row_shard layout — no replica exists anywhere),
@@ -687,7 +687,8 @@ def d_ftree(mesh, axis, wspecs, node_rows, node_caps, col_sharded,
             shards.append((slicer, valid))
         flags, outs = run_ftree_wave(wspecs, cols, vals,
                                      axis=axis, shards=tuple(shards),
-                                     scatter=scatter, gather=gather)
+                                     scatter=scatter, gather=gather,
+                                     wsort=wsort)
         segs = []
         if flags:
             segs.append(jnp.stack(flags).astype(jnp.int32))

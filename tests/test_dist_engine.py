@@ -348,3 +348,47 @@ def test_dist_exchange_capacity_retry(monkeypatch):
     cfg = EngineConfig(factorized=False)   # force the exchange pipeline
     ex = _check(rels, queries, cfg)
     assert ex.counters["gather_retries"] > 0
+
+
+def test_dist_wsort_huge_shards(monkeypatch):
+    """Sorted windows INSIDE shard_map (ftree_window_sort="on"): each
+    chip's huge-shard windows sort locally (collective-free), shard
+    validity masks ride the permutation as packed 1-bit payloads, and
+    masked primary-key scatters keep their sorted order by zeroing
+    WEIGHTS instead of sentinel-rewriting keys. Exact vs the oracle on
+    the 8-virtual-device mesh; "off" must agree (policy equivalence)."""
+    from radixhashjoin_tpu.ops import factorized, tables
+    from radixhashjoin_tpu.utils import limbs
+    monkeypatch.setattr(factorized, "_BIG_WAVE_ROWS", 512)
+    monkeypatch.setattr(limbs, "_BIG_WINDOW_ROWS", 4 * limbs.WCHUNK)
+    # shrink kernel thresholds so hier presorted paths engage at test
+    # widths (late-bound defaults honor these)
+    monkeypatch.setattr(tables, "MXU_SCATTER_MAX_BINS", 16)
+    monkeypatch.setattr(tables, "HIER_BLOCK_ROWS", 128)
+    monkeypatch.setattr(tables, "HIER_SUB_WIDTH", 128)
+    monkeypatch.setattr(tables, "HIER_GATHER_BLOCK_ROWS", 128)
+    monkeypatch.setattr(tables, "HIER_GATHER_SUB_WIDTH", 128)
+    rng = np.random.default_rng(78)
+    n = 8 * 700 + 33
+    fact = Relation([rng.integers(0, 100, n).astype(np.uint64),
+                     rng.integers(0, 80, n).astype(np.uint64),
+                     rng.integers(0, 1000, n).astype(np.uint64)])
+    d1 = Relation([np.arange(100, dtype=np.uint64),
+                   rng.integers(0, 1000, 100).astype(np.uint64)])
+    d2 = Relation([np.arange(80, dtype=np.uint64),
+                   rng.integers(0, 1000, 80).astype(np.uint64)])
+    rels = [fact, d1, d2]
+    star = [JoinPred(0, 0, 1, 0), JoinPred(0, 1, 2, 0)]
+    queries = [
+        Query([0, 1], [JoinPred(0, 0, 1, 0)], [],
+              [Projection(0, 2), Projection(1, 1)]),
+        Query([0, 1, 2], star, [FilterPred(1, 1, "<", 900)],
+              [Projection(0, 2), Projection(1, 1), Projection(2, 1)]),
+        Query([0, 1, 2], star, [FilterPred(0, 2, "<", 700)],
+              [Projection(0, 2), Projection(2, 1)]),
+        Query([0, 1, 2], star, [FilterPred(1, 1, "=", 55555)],
+              [Projection(0, 2)]),
+    ]
+    ex = _check(rels, queries, EngineConfig(ftree_window_sort="on"))
+    assert ex.counters["ftree_queries"] == len(queries)
+    _check(rels, queries, EngineConfig(ftree_window_sort="off"))
