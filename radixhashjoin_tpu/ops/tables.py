@@ -144,7 +144,12 @@ def weighted_bincount_mxu(idxs, weights, n_bins: int):
 
 
 HIER_BLOCK_ROWS = 2048
-HIER_SUB_WIDTH = 1024
+# sub_width == block_rows: robust against skewed keys — a narrower
+# window (1024) rates ~18% higher on uniform data (196 vs 166 M
+# updates/s, bench_tables r5) but sorted zipf tails then spill and the
+# any(spill) fallback pays a FULL engine pass (net ~84 M/s, BELOW the
+# 150 M/s engine). Equal widths only spill through value gaps.
+HIER_SUB_WIDTH = 2048
 
 
 def weighted_bincount_hier(idxs, weights, n_bins: int,
